@@ -1,0 +1,117 @@
+"""Resize ops with exact parity to the reference's interpolation semantics.
+
+The reference uses two distinct resize conventions that we must reproduce:
+
+* ``torch.nn.functional.interpolate(..., mode='bilinear', align_corners=True)``
+  for upsampling logits to label resolution (reference ``loss/criterion.py:26``,
+  ``evaluate.py:103``): source coordinate ``src = dst * (in-1)/(out-1)``.
+* ``cv2.resize(..., INTER_LINEAR / INTER_NEAREST)`` for data augmentation
+  (reference ``dataset/datasets.py:158-160``): half-pixel-centre convention
+  ``src = (dst + 0.5) * in/out - 0.5`` (linear) and ``src = floor(dst * in/out)``
+  … cv2 nearest actually uses ``src = floor((dst + 0.5) * in/out)`` clamped —
+  see :func:`resize_nearest_cv2`.
+
+Everything here is pure ``jnp``, static-shape, and jit/grad friendly. The
+implementation is gather + lerp along one axis at a time (separable), which XLA
+lowers to efficient dynamic-gathers; for the common exact-ratio cases (e.g.
+97→769 logits upsample) the weights are compile-time constants.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _lerp_weights_align_corners(in_size: int, out_size: int):
+    """Source indices and weights for align_corners=True bilinear (1 axis)."""
+    if out_size == 1:
+        lo = jnp.zeros((1,), jnp.int32)
+        hi = jnp.zeros((1,), jnp.int32)
+        w = jnp.zeros((1,), jnp.float32)
+        return lo, hi, w
+    scale = (in_size - 1) / (out_size - 1)
+    src = jnp.arange(out_size, dtype=jnp.float32) * scale
+    lo = jnp.clip(jnp.floor(src), 0, in_size - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w = src - lo.astype(jnp.float32)
+    return lo, hi, w
+
+
+def _lerp_weights_half_pixel(in_size: int, out_size: int):
+    """Source indices/weights for cv2 INTER_LINEAR (half-pixel centres)."""
+    scale = in_size / out_size
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    src = jnp.clip(src, 0.0, in_size - 1)
+    lo = jnp.clip(jnp.floor(src), 0, in_size - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    w = src - lo.astype(jnp.float32)
+    return lo, hi, w
+
+
+def _resize_axis(x: jnp.ndarray, axis: int, lo, hi, w) -> jnp.ndarray:
+    """Linear resize of one axis via two gathers and a lerp."""
+    xlo = jnp.take(x, lo, axis=axis)
+    xhi = jnp.take(x, hi, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = -1
+    w = w.reshape(shape).astype(x.dtype)
+    return xlo * (1 - w) + xhi * w
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, h_axis: int = 1) -> jnp.ndarray:
+    """Bilinear resize with torch's align_corners=True convention.
+
+    Args:
+      x: array with spatial dims at ``(h_axis, h_axis+1)`` — e.g. NHWC with
+        ``h_axis=1``.
+      out_hw: (out_h, out_w) static ints.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    in_h, in_w = x.shape[h_axis], x.shape[h_axis + 1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    if in_h != out_h:
+        lo, hi, w = _lerp_weights_align_corners(in_h, out_h)
+        x = _resize_axis(x, h_axis, lo, hi, w)
+    if in_w != out_w:
+        lo, hi, w = _lerp_weights_align_corners(in_w, out_w)
+        x = _resize_axis(x, h_axis + 1, lo, hi, w)
+    return x
+
+
+def resize_bilinear_cv2(x: jnp.ndarray, out_hw, h_axis: int = 1) -> jnp.ndarray:
+    """Bilinear resize with cv2.resize INTER_LINEAR (half-pixel) convention."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    in_h, in_w = x.shape[h_axis], x.shape[h_axis + 1]
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    if in_h != out_h:
+        lo, hi, w = _lerp_weights_half_pixel(in_h, out_h)
+        x = _resize_axis(x, h_axis, lo, hi, w)
+    if in_w != out_w:
+        lo, hi, w = _lerp_weights_half_pixel(in_w, out_w)
+        x = _resize_axis(x, h_axis + 1, lo, hi, w)
+    return x
+
+
+def resize_nearest_cv2(x: jnp.ndarray, out_hw, h_axis: int = 1) -> jnp.ndarray:
+    """Nearest resize matching cv2.resize INTER_NEAREST.
+
+    cv2's INTER_NEAREST picks ``src = floor(dst * in/out)`` (it truncates the
+    half-pixel offset), which is what ``scipy.ndimage.zoom(order=0)`` does NOT
+    do — we match cv2 because the reference's label augmentation used cv2
+    (``dataset/datasets.py:160``).
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    in_h, in_w = x.shape[h_axis], x.shape[h_axis + 1]
+
+    def idx(in_size, out_size):
+        src = jnp.floor(jnp.arange(out_size, dtype=jnp.float32) * (in_size / out_size))
+        return jnp.clip(src, 0, in_size - 1).astype(jnp.int32)
+
+    if in_h != out_h:
+        x = jnp.take(x, idx(in_h, out_h), axis=h_axis)
+    if in_w != out_w:
+        x = jnp.take(x, idx(in_w, out_w), axis=h_axis + 1)
+    return x
