@@ -1,0 +1,110 @@
+"""Deep-stem dilated ResNet backbone (output stride 8), NHWC.
+
+Geometry matches the reference exactly so ImageNet/CCNet ``.pth`` weights
+convert 1:1 (reference ``networks/ccnet.py:125-173``):
+
+* deep stem: three 3×3 convs (3→64 s2, 64→64, 64→128), BN(identity)+ReLU
+  each, then 3×3/s2 ceil-mode maxpool;
+* layers [3, 4, 23, 3] of ``Bottleneck`` (expansion 4);
+* layer3 at stride 1 / dilation 2, layer4 at stride 1 / dilation 4 with
+  multi_grid (1, 1, 1) → output stride 8;
+* exposes the layer3 feature for the DSN auxiliary head
+  (reference ``networks/ccnet.py:149-154,183``).
+
+Param tree names mirror torch attribute names (``conv1``, ``bn1``,
+``layer1_0`` ↔ ``layer1.0``, ``downsample_conv`` ↔ ``downsample.0``) so the
+checkpoint converter is a mechanical rename.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ccnet_tpu.nn.layers import ABN, Conv
+from ccnet_tpu.ops.pooling import max_pool_ceil
+
+
+def relu(x):
+    return jnp.maximum(x, 0)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck, expansion 4, optional dilation + multi-grid."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    multi_grid: int = 1
+    has_downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dilation * self.multi_grid
+        out = Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = relu(ABN(self.planes, "identity", dtype=self.dtype, name="bn1")(out, train))
+        out = Conv(
+            self.planes, (3, 3), strides=(self.stride, self.stride), padding=d,
+            dilation=d, use_bias=False, dtype=self.dtype, name="conv2",
+        )(out)
+        out = relu(ABN(self.planes, "identity", dtype=self.dtype, name="bn2")(out, train))
+        out = Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = ABN(self.planes * 4, "identity", dtype=self.dtype, name="bn3")(out, train)
+
+        residual = x
+        if self.has_downsample:
+            residual = Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            residual = ABN(self.planes * 4, "identity", dtype=self.dtype, name="downsample_bn")(
+                residual, train
+            )
+        return relu(out + residual)
+
+
+class DilatedResNet(nn.Module):
+    """Deep-stem dilated ResNet trunk; returns (layer3_out, layer4_out)."""
+
+    layers: Sequence[int] = (3, 4, 23, 3)  # ResNet-101
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        dt = self.dtype
+        x = x.astype(dt)
+        x = relu(ABN(64, "identity", dtype=dt, name="bn1")(
+            Conv(64, (3, 3), strides=(2, 2), padding=1, use_bias=False, dtype=dt, name="conv1")(x), train))
+        x = relu(ABN(64, "identity", dtype=dt, name="bn2")(
+            Conv(64, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv2")(x), train))
+        x = relu(ABN(128, "identity", dtype=dt, name="bn3")(
+            Conv(128, (3, 3), padding=1, use_bias=False, dtype=dt, name="conv3")(x), train))
+        x = max_pool_ceil(x, 3, 2, 1)
+
+        specs = [  # (planes, stride, dilation, multi_grid tuple)
+            (64, 1, 1, None),
+            (128, 2, 1, None),
+            (256, 1, 2, None),
+            (512, 1, 4, (1, 1, 1)),
+        ]
+        inplanes = 128
+        feats = {}
+        for li, ((planes, stride, dilation, grids), blocks) in enumerate(zip(specs, self.layers), start=1):
+            for bi in range(blocks):
+                mg = grids[bi % len(grids)] if grids else 1
+                has_ds = bi == 0 and (stride != 1 or inplanes != planes * 4)
+                x = Bottleneck(
+                    planes,
+                    stride=stride if bi == 0 else 1,
+                    dilation=dilation,
+                    multi_grid=mg,
+                    has_downsample=has_ds,
+                    dtype=dt,
+                    name=f"layer{li}_{bi}",
+                )(x, train)
+                inplanes = planes * 4
+            feats[li] = x
+        return feats[3], feats[4]

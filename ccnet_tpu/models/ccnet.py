@@ -1,0 +1,126 @@
+"""CCNet: dilated ResNet-101 + recurrent criss-cross attention (RCCA) head.
+
+Behavioural spec from the reference:
+
+* ``CrissCrossAttention`` module — 1×1 q/k convs to C/8, 1×1 v conv to C,
+  joint row+column softmax attention, zero-initialised scalar ``gamma`` gate,
+  residual add (reference ``cc_attention/functions.py:15-49``). At init the
+  module is an identity.
+* ``RCCAModule`` — 3×3 conv 2048→512 + ABN(leaky 0.01), CCA applied
+  ``recurrence`` times with shared weights, 3×3 conv + ABN, then a bottleneck
+  over ``concat([trunk, attended])`` (2560→512) + ABN + Dropout(0.1) + 1×1
+  classifier (reference ``networks/ccnet.py:99-123``).
+* DSN auxiliary head off layer3: 3×3 1024→512 (with bias) + ABN + Dropout +
+  1×1 classifier (reference ``networks/ccnet.py:149-154``).
+
+Unlike the reference, the loss criterion does NOT live inside the model — the
+model returns logits, training composes the loss (fixes the layering quirk at
+reference ``networks/ccnet.py:188-189``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ccnet_tpu.models.backbone import DilatedResNet
+from ccnet_tpu.nn.layers import ABN, Conv
+from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
+
+
+class CrissCrossAttention(nn.Module):
+    """Criss-cross attention with q/k/v projections and gamma-gated residual."""
+
+    features: int
+    impl: str = "auto"  # 'jnp' | 'pallas' | 'auto'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        q = Conv(c // 8, (1, 1), dtype=self.dtype, name="query_conv")(x)
+        k = Conv(c // 8, (1, 1), dtype=self.dtype, name="key_conv")(x)
+        v = Conv(c, (1, 1), dtype=self.dtype, name="value_conv")(x)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+
+        impl = self.impl
+        if impl == "auto":
+            # fused Pallas kernel on TPU, jnp reference elsewhere
+            import jax
+
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+        if impl == "pallas":
+            from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas
+
+            out = criss_cross_attention_pallas(q, k, v)
+        else:
+            out = cca_jnp(q, k, v)
+        return gamma.astype(x.dtype) * out + x
+
+
+class RCCAModule(nn.Module):
+    """Recurrent criss-cross head: conva → CCA×R (shared) → convb → bottleneck."""
+
+    num_classes: int
+    in_channels: int = 2048
+    out_channels: int = 512
+    recurrence: int = 2
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        inter = self.in_channels // 4
+        dt = self.dtype
+        out = Conv(inter, (3, 3), padding=1, use_bias=False, dtype=dt, name="conva_conv")(x)
+        out = ABN(inter, "leaky_relu", dtype=dt, name="conva_bn")(out, train)
+        cca = CrissCrossAttention(inter, impl=self.impl, dtype=dt, name="cca")
+        for _ in range(self.recurrence):
+            out = cca(out)  # shared weights across recurrence steps
+        out = Conv(inter, (3, 3), padding=1, use_bias=False, dtype=dt, name="convb_conv")(out)
+        out = ABN(inter, "leaky_relu", dtype=dt, name="convb_bn")(out, train)
+
+        out = jnp.concatenate([x, out], axis=-1)
+        out = Conv(self.out_channels, (3, 3), padding=1, use_bias=False, dtype=dt, name="bottleneck_conv")(out)
+        out = ABN(self.out_channels, "leaky_relu", dtype=dt, name="bottleneck_bn")(out, train)
+        out = nn.Dropout(0.1, deterministic=not train)(out)
+        out = Conv(self.num_classes, (1, 1), use_bias=True, dtype=dt, name="classifier")(out)
+        return out
+
+
+class DSNHead(nn.Module):
+    """Deeply-supervised auxiliary head off layer3."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        out = Conv(512, (3, 3), padding=1, use_bias=True, dtype=dt, name="conv")(x)
+        out = ABN(512, "leaky_relu", dtype=dt, name="bn")(out, train)
+        out = nn.Dropout(0.1, deterministic=not train)(out)
+        out = Conv(self.num_classes, (1, 1), use_bias=True, dtype=dt, name="classifier")(out)
+        return out
+
+
+class CCNet(nn.Module):
+    """Full CCNet segmentation model. Returns {'main', 'aux'} logits at OS 8."""
+
+    num_classes: int = 19
+    layers: tuple = (3, 4, 23, 3)
+    recurrence: int = 2
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x3, x4 = DilatedResNet(self.layers, dtype=self.dtype, name="backbone")(x, train)
+        aux = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")(x3, train)
+        main = RCCAModule(
+            self.num_classes, recurrence=self.recurrence, impl=self.impl,
+            dtype=self.dtype, name="head",
+        )(x4, train)
+        return {"main": main.astype(jnp.float32), "aux": aux.astype(jnp.float32)}

@@ -1,0 +1,73 @@
+"""Model assembly tests: geometry, shapes, init identities, all three heads."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccnet_tpu.models import CCNet, DeepLabV3, PSPNet, CrissCrossAttention, build_model
+
+
+def tiny(model_cls, **kw):
+    return model_cls(num_classes=7, layers=(1, 1, 1, 1), **kw)
+
+
+@pytest.mark.parametrize("cls", [CCNet, PSPNet, DeepLabV3])
+def test_forward_shapes_os8(cls):
+    model = tiny(cls)
+    x = jnp.zeros((2, 65, 65, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    # 65 -> stem s2 -> 33 -> pool -> 17 -> layer2 s2 -> 9 (output stride 8)
+    assert out["main"].shape == (2, 9, 9, 7)
+    assert out["aux"].shape == (2, 9, 9, 7)
+
+
+def test_cca_module_identity_at_init():
+    """gamma is zero-initialised → the CCA module is an identity at init."""
+    m = CrissCrossAttention(features=16, impl="jnp")
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 5, 6, 16).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(1), x)
+    assert float(variables["params"]["gamma"][0]) == 0.0
+    out = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=0)
+
+
+def test_recurrence_shares_weights():
+    """R=1 and R=2 models must have identical parameter trees (shared CCA)."""
+    x = jnp.zeros((1, 65, 65, 3), jnp.float32)
+    v1 = CCNet(num_classes=7, layers=(1, 1, 1, 1), recurrence=1, impl="jnp").init(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    v2 = CCNet(num_classes=7, layers=(1, 1, 1, 1), recurrence=2, impl="jnp").init(
+        jax.random.PRNGKey(0), x, train=False
+    )
+    t1 = jax.tree_util.tree_structure(v1)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2
+    for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_mode_updates_batch_stats_and_needs_dropout_rng():
+    model = tiny(CCNet, impl="jnp")
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 65, 65, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out, mutated = model.apply(
+        variables, x, train=True,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )
+    # running stats moved away from init
+    rm = mutated["batch_stats"]["backbone"]["bn1"]["running_mean"]
+    assert float(jnp.abs(rm).max()) > 0
+
+
+def test_registry_resnet101_param_count():
+    """CCNet-R101 must have the reference's parameter count scale (~71M)."""
+    model = build_model("ccnet", num_classes=19, recurrence=2, depth=101, impl="jnp")
+    x = jnp.zeros((1, 97, 97, 3), jnp.float32)  # tiny spatial, full depth
+    variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, train=False))
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables["params"]))
+    assert 68e6 < n_params < 74e6, n_params
