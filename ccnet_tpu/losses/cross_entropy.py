@@ -1,0 +1,37 @@
+"""Pixel cross-entropy with an ignore label.
+
+Matches ``torch.nn.CrossEntropyLoss(ignore_index=255, reduction='mean')`` as
+used throughout the reference (``loss/criterion.py:18``): mean of per-pixel
+NLL over non-ignored pixels. Fully on-device, static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_cross_entropy_ignore(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_label: int = 255,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Mean masked CE. logits: (..., C) float; labels: (...) int.
+
+    Args:
+      weights: optional extra per-pixel weight/mask multiplied into the
+        validity mask (used by OHEM to drop non-selected pixels).
+    Returns scalar f32 loss (0 if nothing is valid).
+    """
+    logits = logits.astype(jnp.float32)
+    valid = (labels != ignore_label)
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    mask = valid.astype(jnp.float32)
+    if weights is not None:
+        mask = mask * weights.astype(jnp.float32)
+    total = jnp.sum(nll * mask)
+    count = jnp.sum(mask)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)

@@ -1,0 +1,66 @@
+"""Online hard example mining (OHEM) cross-entropy — fully on-device.
+
+Selection semantics of the reference (``loss/loss.py:20-78``): keep the
+pixels whose predicted probability for their *correct* class is ≤
+``max(thresh, p_k)`` where ``p_k`` is the k-th smallest correct-class
+probability among valid pixels, k = min_kept; if fewer than ``min_kept``
+valid pixels exist, keep everything. Non-kept pixels are relabelled to
+ignore before the CE.
+
+TPU-native deviation (deliberate, SURVEY §7c): the reference computed the
+threshold on a 1/8-``scipy.ndimage.zoom``-ed CPU copy with ``min_kept/64``
+(a host-sync speed hack costing a device→CPU round trip *every step*,
+reference ``loss/loss.py:52-76``). Here the k-th statistic is exact, at full
+resolution, via one on-device sort — no host sync, same selection rule.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ccnet_tpu.losses.cross_entropy import softmax_cross_entropy_ignore
+
+
+def ohem_mask(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_label: int = 255,
+    thresh: float = 0.7,
+    min_kept: int = 100000,
+) -> jnp.ndarray:
+    """Boolean keep-mask over pixels. logits (..., C), labels (...)."""
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_label
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    p_correct = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+
+    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
+    num_valid = jnp.sum(valid)
+    n = flat.shape[0]
+    k = min(min_kept, n)
+    if k <= 0:
+        threshold = jnp.float32(thresh)
+    else:
+        kth = jnp.sort(flat)[k - 1]  # inf if fewer than k valid pixels
+        threshold = jnp.where(
+            num_valid <= min_kept,
+            jnp.float32(1.0),  # keep all valid pixels
+            jnp.maximum(jnp.float32(thresh), kth),
+        )
+    return valid & (p_correct <= threshold)
+
+
+def ohem_cross_entropy(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    ignore_label: int = 255,
+    thresh: float = 0.7,
+    min_kept: int = 100000,
+) -> jnp.ndarray:
+    """OHEM-masked mean CE (scalar f32)."""
+    keep = ohem_mask(logits, labels, ignore_label, thresh, min_kept)
+    return softmax_cross_entropy_ignore(
+        logits, labels, ignore_label, weights=keep.astype(jnp.float32)
+    )

@@ -51,6 +51,11 @@ class CrissCrossAttention(nn.Module):
             import jax
 
             impl = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+            if impl == "pallas":
+                try:
+                    import ccnet_tpu.ops.cc_attention_pallas  # noqa: F401
+                except ImportError:
+                    impl = "jnp"
         if impl == "pallas":
             from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas
 
@@ -111,13 +116,14 @@ class CCNet(nn.Module):
 
     num_classes: int = 19
     layers: tuple = (3, 4, 23, 3)
+    remat: bool = False
     recurrence: int = 2
     impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        x3, x4 = DilatedResNet(self.layers, dtype=self.dtype, name="backbone")(x, train)
+        x3, x4 = DilatedResNet(self.layers, remat=self.remat, dtype=self.dtype, name="backbone")(x, train)
         aux = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")(x3, train)
         main = RCCAModule(
             self.num_classes, recurrence=self.recurrence, impl=self.impl,

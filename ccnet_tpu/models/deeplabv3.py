@@ -56,11 +56,12 @@ class DeepLabV3(nn.Module):
 
     num_classes: int = 19
     layers: tuple = (3, 4, 23, 3)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        x3, x4 = DilatedResNet(self.layers, dtype=self.dtype, name="backbone")(x, train)
+        x3, x4 = DilatedResNet(self.layers, remat=self.remat, dtype=self.dtype, name="backbone")(x, train)
         aux = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")(x3, train)
         feat = ASPPModule(dtype=self.dtype, name="aspp")(x4, train)
         main = Conv(self.num_classes, (1, 1), use_bias=True, dtype=self.dtype, name="classifier")(feat)

@@ -24,13 +24,15 @@ def build_model(
     depth: int = 101,
     dtype: Any = jnp.float32,
     impl: str = "auto",
+    remat: bool = False,
 ):
     """Build a segmentation model by name: 'ccnet' | 'pspnet' | 'deeplabv3'."""
     layers = _DEPTH_LAYERS[depth]
     if name == "ccnet":
-        return CCNet(num_classes=num_classes, layers=layers, recurrence=recurrence, impl=impl, dtype=dtype)
+        return CCNet(num_classes=num_classes, layers=layers, recurrence=recurrence,
+                     impl=impl, dtype=dtype, remat=remat)
     if name == "pspnet":
-        return PSPNet(num_classes=num_classes, layers=layers, dtype=dtype)
+        return PSPNet(num_classes=num_classes, layers=layers, dtype=dtype, remat=remat)
     if name == "deeplabv3":
-        return DeepLabV3(num_classes=num_classes, layers=layers, dtype=dtype)
+        return DeepLabV3(num_classes=num_classes, layers=layers, dtype=dtype, remat=remat)
     raise ValueError(f"unknown model {name!r}; available: ccnet, pspnet, deeplabv3")
