@@ -1,0 +1,79 @@
+"""Pallas criss-cross kernel vs. the pure-jnp reference: forward + VJP.
+
+Runs in interpreter mode on CPU (kernel logic); the same code path compiles
+on real TPU (exercised by bench.py / model forward with impl='pallas').
+
+precision='highest' (f32 MXU operands) checks exact math at tight tolerance;
+precision='default' (bf16 operands, f32 accumulation — the training config)
+is checked at bf16-scale tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
+from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas as cca_pl
+
+
+def case(seed, B, H, W, Cq, Cv):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(B, H, W, Cq).astype(np.float32)),
+        jnp.asarray(rng.randn(B, H, W, Cq).astype(np.float32)),
+        jnp.asarray(rng.randn(B, H, W, Cv).astype(np.float32)),
+    )
+
+
+SHAPES = [
+    (1, 5, 6, 4, 8),     # tiny, W not divisible by tile
+    (2, 9, 8, 8, 16),    # H != W
+    (1, 97, 97, 16, 32), # real aspect (small channels for CPU speed)
+    (1, 1, 7, 4, 8),     # H=1: column path fully masked
+    (1, 7, 1, 4, 8),     # W=1
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_matches_jnp_highest(shape):
+    q, k, v = case(0, *shape)
+    want = np.asarray(cca_jnp(q, k, v))
+    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="highest"))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_forward_default_precision_close():
+    q, k, v = case(4, 1, 13, 17, 8, 16)
+    want = np.asarray(cca_jnp(q, k, v))
+    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="default"))
+    np.testing.assert_allclose(got, want, atol=0.03, rtol=0.03)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:3])
+def test_vjp_matches_jnp(shape):
+    q, k, v = case(1, *shape)
+    g = jnp.asarray(np.random.RandomState(2).randn(*v.shape).astype(np.float32))
+
+    def f_ref(q, k, v):
+        return jnp.vdot(cca_jnp(q, k, v), g)
+
+    def f_pl(q, k, v):
+        return jnp.vdot(cca_pl(q, k, v, interpret=True, precision="highest"), g)
+
+    want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    got = jax.grad(f_pl, argnums=(0, 1, 2))(q, k, v)
+    for gw, gg, name in zip(want, got, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), atol=3e-5,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_bf16_inputs():
+    q, k, v = case(3, 1, 9, 11, 8, 16)
+    q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    got = np.asarray(cca_pl(q, k, v, interpret=True)).astype(np.float32)
+    want = np.asarray(cca_jnp(q, k, v)).astype(np.float32)
+    np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
