@@ -1,0 +1,103 @@
+"""Evaluation CLI — val mIoU with sliding-window / multi-scale / flip
+(reference ``evaluate.py`` capability: ``--whole``, scales, result.txt,
+palette PNGs)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from ccnet_tpu.data import CityscapesDataset, DataLoader, SyntheticDataset
+from ccnet_tpu.data.cityscapes import CITYSCAPES_CLASS_NAMES
+from ccnet_tpu.evaluation import Evaluator
+from ccnet_tpu.models import build_model
+from ccnet_tpu.train.optim import make_optimizer
+from ccnet_tpu.utils import get_logger, load_pth, restore_checkpoint
+
+
+def str2bool(v):
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="ccnet_tpu evaluation")
+    p.add_argument("--data-dir", type=str, default="cityscapes")
+    p.add_argument("--data-list", type=str, default=None)
+    p.add_argument("--split", type=str, default="val")
+    p.add_argument("--model", type=str, default="ccnet",
+                   choices=["ccnet", "pspnet", "deeplabv3"])
+    p.add_argument("--recurrence", type=int, default=2)
+    p.add_argument("--depth", type=int, default=101, choices=[50, 101, 152])
+    p.add_argument("--num-classes", type=int, default=19)
+    p.add_argument("--input-size", type=str, default="769,769")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--restore-from", type=str, default=None, help=".pth checkpoint")
+    p.add_argument("--restore-dir", type=str, default=None, help="orbax snapshot dir")
+    p.add_argument("--whole", type=str2bool, default=False)
+    p.add_argument("--flip", type=str2bool, default=False)
+    p.add_argument("--scales", type=str, default="1.0",
+                   help="comma list, e.g. 0.75,1.0,1.25")
+    p.add_argument("--output-dir", type=str, default="outputs")
+    p.add_argument("--save-preds", type=str2bool, default=True)
+    p.add_argument("--fp32", type=str2bool, default=False)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-size", type=str, default="1024,2048")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logger = get_logger("ccnet_tpu.cli.evaluate")
+    h, w = (int(x) for x in args.input_size.split(","))
+
+    model = build_model(
+        args.model, num_classes=args.num_classes, recurrence=args.recurrence,
+        depth=args.depth, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+    variables = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32), train=False
+    ))()
+    if args.restore_from:
+        variables, _, _ = load_pth(args.restore_from, variables)
+        logger.info(f"loaded weights from {args.restore_from}")
+    elif args.restore_dir:
+        from ccnet_tpu.train import create_train_state
+
+        state = create_train_state(model, make_optimizer(max_steps=1), (1, h, w, 3))
+        state = restore_checkpoint(args.restore_dir, state)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logger.info(f"loaded snapshot from {args.restore_dir}")
+    else:
+        logger.warning("no checkpoint given — evaluating RANDOM weights")
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)["main"]
+
+    if args.synthetic:
+        sh, sw = (int(x) for x in args.synthetic_size.split(","))
+        dataset = SyntheticDataset(n=2, hw=(sh, sw), num_classes=args.num_classes)
+    else:
+        dataset = CityscapesDataset(args.data_dir, args.data_list, split=args.split)
+    loader = DataLoader(dataset, args.batch_size, shuffle=False,
+                        num_workers=args.num_workers, drop_last=False)
+
+    evaluator = Evaluator(
+        apply_fn, num_classes=args.num_classes, tile_hw=(h, w),
+        scales=[float(s) for s in args.scales.split(",")],
+        flip=args.flip, whole=args.whole,
+        class_names=CITYSCAPES_CLASS_NAMES if args.num_classes == 19 else None,
+    )
+    result = evaluator.run(loader, output_dir=args.output_dir,
+                           save_preds=args.save_preds, logger=logger)
+    logger.info(f"meanIU: {result['meanIU']:.4f}")
+    if "per_class" in result:
+        for name, iu in result["per_class"].items():
+            logger.info(f"  {name:16s} {iu:.4f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Training CLI — flag surface mirrors the reference's ``train.py:57-123``.
+
+Example (reference-equivalent recipe, one TPU host driving all chips):
+    python -m ccnet_tpu.cli.train --data-dir /data/cityscapes \\
+        --data-list lists/train.lst --model ccnet --recurrence 2 --ohem 1 \\
+        --batch-size 8 --num-steps 60000 --input-size 769,769
+
+``--synthetic`` runs the full pipeline on generated data (smoke/CI).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ccnet_tpu.data import CityscapesDataset, DataLoader, SyntheticDataset
+from ccnet_tpu.train.trainer import TrainConfig, Trainer
+from ccnet_tpu.utils import get_logger
+
+
+def str2bool(v):
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="ccnet_tpu training")
+    p.add_argument("--data-dir", type=str, default="cityscapes")
+    p.add_argument("--data-list", type=str, default=None,
+                   help=".lst file (image label per line); default: discover layout")
+    p.add_argument("--model", type=str, default="ccnet",
+                   choices=["ccnet", "pspnet", "deeplabv3"])
+    p.add_argument("--recurrence", type=int, default=2)
+    p.add_argument("--depth", type=int, default=101, choices=[50, 101, 152])
+    p.add_argument("--num-classes", type=int, default=19)
+    p.add_argument("--input-size", type=str, default="769,769")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--learning-rate", type=float, default=1e-2)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--power", type=float, default=0.9)
+    p.add_argument("--num-steps", type=int, default=60000)
+    p.add_argument("--start-iters", type=int, default=0)
+    p.add_argument("--ohem", type=str2bool, default=False)
+    p.add_argument("--ohem-thres", type=float, default=0.7)
+    p.add_argument("--ohem-keep", type=int, default=100000)
+    p.add_argument("--ignore-label", type=int, default=255)
+    p.add_argument("--save-pred-every", type=int, default=10000)
+    p.add_argument("--snapshot-dir", type=str, default="snapshots")
+    p.add_argument("--restore-from", type=str, default=None,
+                   help=".pth weights for init (ImageNet or CCNet)")
+    p.add_argument("--resume", type=str2bool, default=False,
+                   help="resume full train state from snapshot-dir")
+    p.add_argument("--random-seed", type=int, default=304)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--fp32", type=str2bool, default=False)
+    p.add_argument("--no-remat", type=str2bool, default=False)
+    p.add_argument("--export-pth", type=str2bool, default=True)
+    p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
+    p.add_argument("--synthetic-size", type=str, default="1024,2048")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logger = get_logger("ccnet_tpu.cli.train")
+    h, w = (int(x) for x in args.input_size.split(","))
+
+    cfg = TrainConfig(
+        model=args.model, num_classes=args.num_classes, recurrence=args.recurrence,
+        depth=args.depth, input_size=(h, w), batch_size=args.batch_size,
+        learning_rate=args.learning_rate, momentum=args.momentum,
+        weight_decay=args.weight_decay, power=args.power, num_steps=args.num_steps,
+        ohem=args.ohem, ohem_thres=args.ohem_thres, ohem_keep=args.ohem_keep,
+        ignore_label=args.ignore_label, save_every=args.save_pred_every,
+        snapshot_dir=args.snapshot_dir, restore_from=args.restore_from,
+        resume=args.resume, start_step=args.start_iters, seed=args.random_seed,
+        bf16=not args.fp32, remat=not args.no_remat, export_pth=args.export_pth,
+    )
+    if args.synthetic:
+        sh, sw = (int(x) for x in args.synthetic_size.split(","))
+        dataset = SyntheticDataset(n=max(args.batch_size * 4, 16), hw=(sh, sw),
+                                   num_classes=args.num_classes)
+    else:
+        dataset = CityscapesDataset(args.data_dir, args.data_list, split="train")
+    loader = DataLoader(dataset, args.batch_size, shuffle=True,
+                        seed=args.random_seed, num_workers=args.num_workers)
+    trainer = Trainer(cfg)
+    result = trainer.run(loader)
+    logger.info(f"training done: {result}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

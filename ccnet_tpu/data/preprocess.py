@@ -1,0 +1,157 @@
+"""Training augmentation with the reference's exact semantics — on device.
+
+Reference recipe (``dataset/datasets.py:157-210``): random scale ∈
+{0.7, 0.8, …, 2.1} (cv2 INTER_LINEAR image / INTER_NEAREST label), BGR mean
+subtraction, pad to crop (image 0-after-mean, label 255), random 769² crop,
+random horizontal mirror.
+
+TPU-native twist: scale→pad→crop→mirror compose into ONE gather-based
+bilinear sample per output pixel, so the whole augmentation is a jittable
+static-shape program: output pixel (i, j) with crop offset (oy, ox) and scale
+f reads the source at the cv2 half-pixel coordinate
+``((i + oy) + 0.5) · H₀/round(H₀·f) − 0.5`` — no dynamic intermediate
+"scaled image" ever exists. Coordinates past the scaled extent reproduce the
+reference's padding (0 post-mean / ignore). Mean subtraction commutes with
+bilinear interpolation, so sampling raw pixels then subtracting the mean is
+exact. A host-side numpy twin (:func:`host_augment`) with identical
+semantics serves variable-sized datasets (VOC) and acts as the test oracle's
+subject.
+
+Per-pixel label remap (labelId→trainId, reference ``datasets.py:146-151``)
+is a 256-entry LUT gather, applied before scaling (nearest resize commutes
+with per-pixel relabeling).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# reference train.py:30 (BGR order, matches cv2 imread)
+CITYSCAPES_MEAN_BGR = (104.00698793, 116.66876762, 122.67891434)
+
+SCALE_MIN, SCALE_STEPS, SCALE_STEP = 0.7, 15, 0.1  # 0.7 … 2.1
+
+
+def _bilinear_sample_axis(img, src, axis):
+    lo = jnp.clip(jnp.floor(src), 0, img.shape[axis] - 1).astype(jnp.int32)
+    hi = jnp.clip(lo + 1, 0, img.shape[axis] - 1)
+    w = (src - lo).astype(img.dtype)
+    xlo = jnp.take(img, lo, axis=axis)
+    xhi = jnp.take(img, hi, axis=axis)
+    shape = [1] * img.ndim
+    shape[axis] = -1
+    w = w.reshape(shape)
+    return xlo * (1 - w) + xhi * w
+
+
+def device_augment(
+    image: jnp.ndarray,  # (H0, W0, 3) f32 raw BGR pixels
+    label: jnp.ndarray,  # (H0, W0) int32 (already trainId-mapped)
+    key: jax.Array,
+    crop_hw: Tuple[int, int] = (769, 769),
+    mean: Tuple[float, float, float] = CITYSCAPES_MEAN_BGR,
+    ignore_label: int = 255,
+    scale_min: float = SCALE_MIN,
+    scale_steps: int = SCALE_STEPS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One sample's scale+pad+crop+mirror, fully jittable. Returns
+    (crop_h, crop_w, 3) f32 mean-subtracted image and (crop_h, crop_w) label."""
+    H0, W0 = image.shape[0], image.shape[1]
+    ch, cw = crop_hw
+    k_scale, k_oy, k_ox, k_flip = jax.random.split(key, 4)
+
+    f = scale_min + SCALE_STEP * jax.random.randint(k_scale, (), 0, scale_steps)
+    sH = jnp.round(H0 * f).astype(jnp.int32)
+    sW = jnp.round(W0 * f).astype(jnp.int32)
+
+    # crop offset within the (padded) scaled canvas
+    oy = jax.random.randint(k_oy, (), 0, jnp.maximum(sH, ch) - ch + 1)
+    ox = jax.random.randint(k_ox, (), 0, jnp.maximum(sW, cw) - cw + 1)
+
+    ys = jnp.arange(ch) + oy  # positions in scaled space
+    xs = jnp.arange(cw) + ox
+    valid_y = ys < sH
+    valid_x = xs < sW
+
+    # cv2 INTER_LINEAR: half-pixel centres
+    src_y = jnp.clip((ys + 0.5) * (H0 / sH) - 0.5, 0.0, H0 - 1)
+    src_x = jnp.clip((xs + 0.5) * (W0 / sW) - 0.5, 0.0, W0 - 1)
+    img = _bilinear_sample_axis(image, src_y, 0)
+    img = _bilinear_sample_axis(img, src_x, 1)
+    img = img - jnp.asarray(mean, img.dtype)
+    valid = (valid_y[:, None] & valid_x[None, :])[..., None]
+    img = jnp.where(valid, img, 0.0)  # pad AFTER mean-subtract == reference
+
+    # cv2 INTER_NEAREST: floor(dst · 1/f). cv2 does this in float64; at
+    # exact-integer tie points its double rounding may pick the previous
+    # pixel where f32 picks the next — a one-pixel shift at <0.1% of
+    # coordinates, irrelevant to the augmentation's selection semantics
+    # (verified at tie-boundaries-only granularity in tests/test_data.py).
+    ny = jnp.clip(jnp.floor(ys * (H0 / sH)), 0, H0 - 1).astype(jnp.int32)
+    nx = jnp.clip(jnp.floor(xs * (W0 / sW)), 0, W0 - 1).astype(jnp.int32)
+    lbl = label[ny][:, nx]
+    lbl = jnp.where(valid[..., 0], lbl, ignore_label)
+
+    flip = jax.random.bernoulli(k_flip)
+    img = jnp.where(flip, img[:, ::-1], img)
+    lbl = jnp.where(flip, lbl[:, ::-1], lbl)
+    return img, lbl
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "ignore_label", "scale_min", "scale_steps"))
+def device_augment_batch(images, labels, key, crop_hw=(769, 769),
+                         ignore_label=255, scale_min=SCALE_MIN, scale_steps=SCALE_STEPS):
+    """vmap'd augmentation: (B, H0, W0, 3) raw + (B, H0, W0) labels → crops."""
+    keys = jax.random.split(key, images.shape[0])
+    fn = functools.partial(
+        device_augment, crop_hw=crop_hw, ignore_label=ignore_label,
+        scale_min=scale_min, scale_steps=scale_steps,
+    )
+    return jax.vmap(fn)(images, labels, keys)
+
+
+# ------------------------------------------------------------- host twin ---
+
+
+def host_augment(
+    image: np.ndarray,  # (H0, W0, 3) f32 BGR
+    label: np.ndarray,  # (H0, W0) int
+    rng: np.random.RandomState,
+    crop_hw: Tuple[int, int] = (769, 769),
+    mean=CITYSCAPES_MEAN_BGR,
+    ignore_label: int = 255,
+    scale: bool = True,
+    mirror: bool = True,
+    scale_min: float = SCALE_MIN,
+    scale_steps: int = SCALE_STEPS,
+):
+    """Numpy/cv2 augmentation with the same semantics (for variable-size
+    datasets like VOC, and as the comparison subject in tests)."""
+    import cv2
+
+    ch, cw = crop_hw
+    if scale:
+        f = scale_min + SCALE_STEP * rng.randint(0, scale_steps)
+        image = cv2.resize(image, None, fx=f, fy=f, interpolation=cv2.INTER_LINEAR)
+        label = cv2.resize(label.astype(np.uint8), None, fx=f, fy=f,
+                           interpolation=cv2.INTER_NEAREST).astype(label.dtype)
+    image = image.astype(np.float32) - np.asarray(mean, np.float32)
+    h, w = label.shape
+    pad_h, pad_w = max(ch - h, 0), max(cw - w, 0)
+    if pad_h or pad_w:
+        image = np.pad(image, ((0, pad_h), (0, pad_w), (0, 0)))
+        label = np.pad(label, ((0, pad_h), (0, pad_w)), constant_values=ignore_label)
+    h, w = label.shape
+    oy = rng.randint(0, h - ch + 1)
+    ox = rng.randint(0, w - cw + 1)
+    image = image[oy:oy + ch, ox:ox + cw]
+    label = label[oy:oy + ch, ox:ox + cw]
+    if mirror and rng.randint(0, 2):
+        image = image[:, ::-1]
+        label = label[:, ::-1]
+    return np.ascontiguousarray(image), np.ascontiguousarray(label)

@@ -1,0 +1,57 @@
+"""Segmentation metrics: confusion matrix and IoU.
+
+Same math as the reference's bincount trick (``evaluate.py:177-195``) and
+IoU formula ``tp / (pos + res − tp)`` (``evaluate.py:269-273``), on device.
+In multi-host settings the accumulated matrix is summed with one collective
+(the reference all-reduced it over NCCL, ``evaluate.py:267-268``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(labels, preds, num_classes: int, ignore_label: int = 255):
+    """(C, C) confusion matrix [gt, pred] over non-ignored pixels (jnp)."""
+    labels = labels.reshape(-1)
+    preds = preds.reshape(-1)
+    valid = labels != ignore_label
+    idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
+    counts = jnp.bincount(idx, length=num_classes * num_classes + 1)
+    return counts[:-1].reshape(num_classes, num_classes)
+
+
+def iou_from_confusion(cm: np.ndarray) -> Tuple[np.ndarray, float]:
+    """Per-class IoU and mean IoU from a confusion matrix [gt, pred]."""
+    cm = np.asarray(cm, np.float64)
+    pos = cm.sum(1)
+    res = cm.sum(0)
+    tp = np.diag(cm)
+    denom = np.maximum(pos + res - tp, 1.0)
+    iu = tp / denom
+    present = pos > 0
+    mean_iu = float(iu[present].mean()) if present.any() else 0.0
+    return iu, mean_iu
+
+
+class ConfusionAccumulator:
+    """Accumulates a confusion matrix across batches (on device)."""
+
+    def __init__(self, num_classes: int, ignore_label: int = 255):
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+        self._update = jax.jit(
+            lambda cm, labels, preds: cm
+            + confusion_matrix(labels, preds, num_classes, ignore_label)
+        )
+
+    def update(self, labels, preds):
+        self.cm = self._update(self.cm, labels, preds)
+
+    def result(self) -> Tuple[np.ndarray, float]:
+        return iou_from_confusion(np.asarray(self.cm))

@@ -1,0 +1,132 @@
+"""Sliding-window / whole-image / multi-scale prediction.
+
+Tiling arithmetic is identical to the reference (``evaluate.py:102-143``):
+stride = ceil(tile·(1−overlap)), tiles clamped to the image with the last
+tile pulled back inside, overlapping probabilities averaged by visit count.
+
+TPU-native difference: the reference ran a Python double loop with one
+forward per tile (HOST→DEVICE→HOST each, ``evaluate.py:115-136``); here all
+tiles of an image are STACKED INTO ONE BATCH and go through a single
+compiled forward — one launch, full MXU occupancy, accumulation on device.
+
+``apply_fn(images) -> (B, h, w, C) logits`` is any jitted forward returning
+OS-8 logits; upsampling back to tile size uses align-corners bilinear
+(reference ``evaluate.py:103``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccnet_tpu.ops.resize import resize_bilinear_align_corners, resize_bilinear_cv2
+
+
+def compute_tiles(image_hw: Tuple[int, int], tile_hw: Tuple[int, int],
+                  overlap: float = 1.0 / 3.0) -> List[Tuple[int, int, int, int]]:
+    """(y1, x1, y2, x2) boxes with the reference's stride/clamp arithmetic."""
+    H, W = image_hw
+    th, tw = tile_hw
+    stride = int(math.ceil(th * (1.0 - overlap)))
+    rows = int(math.ceil(max(H - th, 0) / stride) + 1)
+    cols = int(math.ceil(max(W - tw, 0) / stride) + 1)
+    boxes = []
+    for r in range(rows):
+        for c in range(cols):
+            x1, y1 = c * stride, r * stride
+            x2, y2 = min(x1 + tw, W), min(y1 + th, H)
+            x1, y1 = max(x2 - tw, 0), max(y2 - th, 0)
+            boxes.append((y1, x1, y2, x2))
+    return boxes
+
+
+def predict_sliding(
+    apply_fn: Callable,
+    image: jnp.ndarray,  # (B, H, W, 3) preprocessed
+    tile_hw: Tuple[int, int],
+    num_classes: int,
+    overlap: float = 1.0 / 3.0,
+    tiles_per_call: int = 8,
+) -> jnp.ndarray:
+    """(B, H, W, C) softmax-able logits-probabilities… returns per-pixel
+    *probabilities* averaged over overlapping tiles (reference semantics:
+    logits are accumulated pre-softmax in the reference — it averages raw
+    upsampled logits; we do the same and return averaged logits)."""
+    B, H, W, _ = image.shape
+    th, tw = tile_hw
+    # pad image up to tile size if smaller (reference pad_image, evaluate.py:95-100)
+    pad_h, pad_w = max(th - H, 0), max(tw - W, 0)
+    if pad_h or pad_w:
+        image = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = image.shape[1], image.shape[2]
+    boxes = compute_tiles((Hp, Wp), (th, tw), overlap)
+
+    full = jnp.zeros((B, Hp, Wp, num_classes), jnp.float32)
+    count = jnp.zeros((1, Hp, Wp, 1), jnp.float32)
+
+    # batch the tiles through the network, B*len(boxes) at a time in chunks
+    tiles = jnp.concatenate(
+        [image[:, y1:y2, x1:x2, :] for (y1, x1, y2, x2) in boxes], axis=0
+    )  # (nb*B, th, tw, 3)
+    outs = []
+    n = tiles.shape[0]
+    step = max(tiles_per_call, B)
+    for s in range(0, n, step):
+        chunk = tiles[s:s + step]
+        if chunk.shape[0] < step:  # pad to keep one compiled shape
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((step - chunk.shape[0], th, tw, 3), chunk.dtype)], 0
+            )
+        logits = apply_fn(chunk)
+        logits = resize_bilinear_align_corners(logits.astype(jnp.float32), (th, tw))
+        outs.append(logits)
+    logits_all = jnp.concatenate(outs, axis=0)[:n]
+
+    for i, (y1, x1, y2, x2) in enumerate(boxes):
+        tile_logits = logits_all[i * B:(i + 1) * B]
+        full = full.at[:, y1:y2, x1:x2, :].add(tile_logits)
+        count = count.at[:, y1:y2, x1:x2, :].add(1.0)
+    full = full / count
+    return full[:, :H, :W, :]
+
+
+def predict_whole(apply_fn: Callable, image: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """Whole-image forward, logits upsampled to input size (evaluate.py:145-153)."""
+    B, H, W, _ = image.shape
+    logits = apply_fn(image)
+    return resize_bilinear_align_corners(logits.astype(jnp.float32), (H, W))
+
+
+def predict_multiscale(
+    apply_fn: Callable,
+    image: jnp.ndarray,  # (B, H, W, 3) preprocessed
+    tile_hw: Tuple[int, int],
+    num_classes: int,
+    scales: Sequence[float] = (1.0,),
+    flip: bool = False,
+    overlap: float = 1.0 / 3.0,
+    whole: bool = False,
+) -> jnp.ndarray:
+    """Multi-scale + flip averaging (reference evaluate.py:155-175): resize
+    input per scale, sliding (or whole) prediction, optional horizontal-flip
+    average, mean over scales. Returns (B, H, W, C) averaged logits."""
+    B, H, W, _ = image.shape
+    acc = jnp.zeros((B, H, W, num_classes), jnp.float32)
+    predict = predict_whole if whole else (
+        lambda fn, im, nc: predict_sliding(fn, im, tile_hw, nc, overlap)
+    )
+    for s in scales:
+        sh, sw = int(H * float(s)), int(W * float(s))
+        scaled = resize_bilinear_cv2(image, (sh, sw)) if (sh, sw) != (H, W) else image
+        probs = predict(apply_fn, scaled, num_classes)
+        if flip:
+            probs_f = predict(apply_fn, scaled[:, :, ::-1, :], num_classes)
+            probs = 0.5 * (probs + probs_f[:, :, ::-1, :])
+        if (sh, sw) != (H, W):
+            probs = resize_bilinear_cv2(probs, (H, W))
+        acc = acc + probs
+    return acc / len(scales)

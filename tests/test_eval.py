@@ -1,0 +1,126 @@
+"""Evaluation tests: tiling arithmetic vs an oracle of the reference formula,
+sliding == whole for a linear 'network', confusion/mIoU math, evaluator e2e."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccnet_tpu.evaluation import (
+    ConfusionAccumulator,
+    Evaluator,
+    compute_tiles,
+    confusion_matrix,
+    iou_from_confusion,
+    predict_multiscale,
+    predict_sliding,
+    predict_whole,
+)
+
+
+def oracle_tiles(H, W, th, tw, overlap=1 / 3):
+    """Reference evaluate.py:107-122 arithmetic, independently written."""
+    stride = int(math.ceil(th * (1 - overlap)))
+    rows = int(math.ceil((H - th) / stride) + 1) if H > th else 1
+    cols = int(math.ceil((W - tw) / stride) + 1) if W > tw else 1
+    out = []
+    for r in range(rows):
+        for c in range(cols):
+            x1, y1 = c * stride, r * stride
+            x2, y2 = min(x1 + tw, W), min(y1 + th, H)
+            out.append((max(y2 - th, 0), max(x2 - tw, 0), y2, x2))
+    return out
+
+
+@pytest.mark.parametrize("hw", [(1024, 2048), (769, 769), (1025, 2049), (800, 1200)])
+def test_tiles_match_reference_arithmetic(hw):
+    got = compute_tiles(hw, (769, 769))
+    want = oracle_tiles(*hw, 769, 769)
+    assert got == want
+    # full coverage
+    cover = np.zeros(hw, bool)
+    for y1, x1, y2, x2 in got:
+        assert (y2 - y1, x2 - x1) == (769, 769)
+        cover[y1:y2, x1:x2] = True
+    assert cover.all()
+
+
+def test_cityscapes_val_is_8_tiles():
+    assert len(compute_tiles((1024, 2048), (769, 769))) == 8
+
+
+def test_sliding_equals_whole_for_spatially_local_net():
+    """With a 1×1-conv 'network' (per-pixel), tiling+averaging must exactly
+    reproduce the whole-image output."""
+    rng = np.random.RandomState(0)
+    Wt = jnp.asarray(rng.randn(3, 5).astype(np.float32))
+
+    def apply_fn(x):  # per-pixel linear map, OS=1
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)
+
+    img = jnp.asarray(rng.randn(2, 50, 70, 3).astype(np.float32))
+    whole = predict_whole(apply_fn, img, 5)
+    sliding = predict_sliding(apply_fn, img, (32, 32), 5)
+    np.testing.assert_allclose(np.asarray(sliding), np.asarray(whole), atol=1e-4)
+
+
+def test_multiscale_flip_consistency():
+    """A flip-equivariant per-pixel net must give flip-averaged == plain."""
+    rng = np.random.RandomState(1)
+    Wt = jnp.asarray(rng.randn(3, 4).astype(np.float32))
+
+    def apply_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)
+
+    img = jnp.asarray(rng.randn(1, 40, 40, 3).astype(np.float32))
+    plain = predict_multiscale(apply_fn, img, (32, 32), 4, scales=(1.0,), flip=False)
+    flipped = predict_multiscale(apply_fn, img, (32, 32), 4, scales=(1.0,), flip=True)
+    np.testing.assert_allclose(np.asarray(flipped), np.asarray(plain), atol=1e-4)
+
+
+def test_confusion_and_iou():
+    labels = jnp.asarray([[0, 0, 1, 1, 2, 255]])
+    preds = jnp.asarray([[0, 1, 1, 1, 0, 2]])
+    cm = np.asarray(confusion_matrix(labels, preds, 3))
+    want = np.array([[1, 1, 0], [0, 2, 0], [1, 0, 0]])
+    np.testing.assert_array_equal(cm, want)
+    iu, miou = iou_from_confusion(cm)
+    # class0: tp1/(2+2-1)=1/3; class1: 2/(2+3-2)=2/3; class2: 0/(1+1-0)=0
+    np.testing.assert_allclose(iu, [1 / 3, 2 / 3, 0.0], atol=1e-9)
+    assert abs(miou - (1 / 3 + 2 / 3 + 0) / 3) < 1e-9
+
+
+def test_evaluator_end_to_end(tmp_path):
+    """Evaluator over a synthetic loader with an oracle-predicting net."""
+    rng = np.random.RandomState(2)
+    labels_store = {}
+
+    class DS:
+        def __iter__(self):
+            # coarse labels: OS-8 + bilinear upsample blurs ±4px at class
+            # boundaries (real nets output smooth logits), so the oracle
+            # labels must be low-frequency for a sharp-accuracy check.
+            lbl0 = np.zeros((1, 65, 97), np.int32)
+            lbl1 = np.full((1, 65, 97), 1, np.int32)
+            lbl1[:, :, 48:] = 2
+            for i, lbl in enumerate([lbl0, lbl1]):
+                img = np.eye(3)[lbl[0]][None] * 100.0  # encode label in pixels
+                labels_store[i] = lbl
+                yield img.astype(np.float32), lbl, [f"im{i}"]
+
+    def apply_fn(x):
+        # decode the label from channel intensities: logits = one-hot-ish.
+        # ::8 on an odd-size tile gives the (N-1)/8+1 grid whose points sit at
+        # input pixels 8i — exactly the geometry of a real OS-8 net, so the
+        # align-corners upsample in the evaluator is pixel-exact.
+        e = jnp.einsum("bhwc,dc->bhwd", x, jnp.asarray(np.eye(3), jnp.float32))
+        return e[:, ::8, ::8, :]
+
+    ev = Evaluator(apply_fn, num_classes=3, tile_hw=(65, 65), mean=(0, 0, 0))
+    res = ev.run(DS(), output_dir=str(tmp_path), save_preds=True)
+    assert res["meanIU"] > 0.9, res["meanIU"]
+    assert (tmp_path / "result.txt").exists()
+    assert (tmp_path / "im0.png").exists()
