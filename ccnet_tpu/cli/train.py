@@ -54,6 +54,9 @@ def get_parser():
     p.add_argument("--fp32", type=str2bool, default=False)
     p.add_argument("--no-remat", type=str2bool, default=False)
     p.add_argument("--export-pth", type=str2bool, default=True)
+    p.add_argument("--tensorboard", type=str2bool, default=False)
+    p.add_argument("--profile-steps", type=str, default=None,
+                   help="start,stop step range for a jax.profiler trace")
     p.add_argument("--synthetic", action="store_true", help="synthetic data smoke run")
     p.add_argument("--synthetic-size", type=str, default="1024,2048")
     return p
@@ -74,6 +77,9 @@ def main(argv=None):
         snapshot_dir=args.snapshot_dir, restore_from=args.restore_from,
         resume=args.resume, start_step=args.start_iters, seed=args.random_seed,
         bf16=not args.fp32, remat=not args.no_remat, export_pth=args.export_pth,
+        tensorboard=args.tensorboard,
+        profile_steps=(tuple(int(x) for x in args.profile_steps.split(","))
+                       if args.profile_steps else None),
     )
     if args.synthetic:
         sh, sw = (int(x) for x in args.synthetic_size.split(","))

@@ -59,8 +59,37 @@ def _resize_axis(x: jnp.ndarray, axis: int, lo, hi, w) -> jnp.ndarray:
     return xlo * (1 - w) + xhi * w
 
 
+def _upsample_axis_int_ratio(x: jnp.ndarray, axis: int, r: int) -> jnp.ndarray:
+    """Align-corners upsample of one axis by an exact integer factor —
+    n → (n−1)·r + 1 — using slices + reshape instead of gathers.
+
+    This is the hot path of the loss (OS-8 logits → 769² labels: r = 8,
+    (8, 97, 97, 19) → (8, 769, 769, 19) every step, forward AND backward).
+    The gather formulation's backward is a scatter-add that costs ~280 ms on
+    a v5e; slicing/reshape differentiate to pad/slice and cost ~nothing.
+    """
+    n = x.shape[axis]
+    if n == 1:
+        reps = [1] * x.ndim
+        return x  # degenerate: output size is 1 too
+    x_lo = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
+    x_hi = jax.lax.slice_in_dim(x, 1, n, axis=axis)
+    w_shape = [1] * (x.ndim + 1)
+    w_shape[axis + 1] = r
+    w = (jnp.arange(r, dtype=jnp.float32) / r).astype(x.dtype).reshape(w_shape)
+    seg = jnp.expand_dims(x_lo, axis + 1) * (1 - w) + jnp.expand_dims(x_hi, axis + 1) * w
+    new_shape = list(x.shape)
+    new_shape[axis] = (n - 1) * r
+    flat = seg.reshape(new_shape)
+    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    return jnp.concatenate([flat, last], axis=axis)
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, h_axis: int = 1) -> jnp.ndarray:
     """Bilinear resize with torch's align_corners=True convention.
+
+    Integer upsample ratios ((out−1) divisible by (in−1), the OS-8 logits
+    case) take a strided slice/reshape path; everything else uses gathers.
 
     Args:
       x: array with spatial dims at ``(h_axis, h_axis+1)`` — e.g. NHWC with
@@ -71,12 +100,17 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, h_axis: int = 1) -> jn
     in_h, in_w = x.shape[h_axis], x.shape[h_axis + 1]
     if (in_h, in_w) == (out_h, out_w):
         return x
+
+    def one_axis(x, axis, in_size, out_size):
+        if out_size > in_size > 1 and (out_size - 1) % (in_size - 1) == 0:
+            return _upsample_axis_int_ratio(x, axis, (out_size - 1) // (in_size - 1))
+        lo, hi, w = _lerp_weights_align_corners(in_size, out_size)
+        return _resize_axis(x, axis, lo, hi, w)
+
     if in_h != out_h:
-        lo, hi, w = _lerp_weights_align_corners(in_h, out_h)
-        x = _resize_axis(x, h_axis, lo, hi, w)
+        x = one_axis(x, h_axis, in_h, out_h)
     if in_w != out_w:
-        lo, hi, w = _lerp_weights_align_corners(in_w, out_w)
-        x = _resize_axis(x, h_axis + 1, lo, hi, w)
+        x = one_axis(x, h_axis + 1, in_w, out_w)
     return x
 
 

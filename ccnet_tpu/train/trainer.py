@@ -69,6 +69,8 @@ class TrainConfig:
     augment_on_device: bool = True
     scale_min: float = 0.7
     scale_steps: int = 15
+    tensorboard: bool = False
+    profile_steps: Optional[Tuple[int, int]] = None  # (start, stop) step range
 
 
 class Trainer:
@@ -115,6 +117,16 @@ class Trainer:
             self.state = self.state.replace(step=jnp.asarray(self.start_step, jnp.int32))
         self.train_step = make_train_step(self.model, self.criterion, self.tx, mesh=self.mesh)
         self.rng = jax.random.PRNGKey(c.seed + 1)
+        self.tb_writer = None
+        if c.tensorboard:
+            try:
+                import tensorflow as tf
+
+                self.tb_writer = tf.summary.create_file_writer(
+                    osp.join(c.snapshot_dir, "tb")
+                )
+            except Exception as e:  # TB is an optional observability extra
+                self.logger.warning(f"tensorboard unavailable: {e}")
 
     def _prepare_batch(self, images: np.ndarray, labels: np.ndarray, step: int):
         c = self.cfg
@@ -158,9 +170,21 @@ class Trainer:
                 epoch += 1
                 it = None
                 continue
+            if c.profile_steps and step == c.profile_steps[0]:
+                try:
+                    jax.profiler.start_trace(osp.join(c.snapshot_dir, "profile"))
+                    self.logger.info("profiler trace started")
+                except Exception as e:
+                    self.logger.warning(f"profiler unavailable: {e}")
             imgs, lbls = self._prepare_batch(images, labels, step)
             self.state, metrics = self.train_step(self.state, imgs, lbls, key)
             step += 1
+            if c.profile_steps and step == c.profile_steps[1]:
+                try:
+                    jax.profiler.stop_trace()
+                    self.logger.info("profiler trace written")
+                except Exception:
+                    pass
             if step % c.log_every == 0 or step == c.num_steps:
                 loss = float(metrics["loss"])  # host sync
                 last_loss = loss
@@ -171,6 +195,13 @@ class Trainer:
                     f"step {step}/{c.num_steps} epoch {epoch} loss {loss:.4f} "
                     f"lr {lr:.3e} {c.batch_size / dt:.2f} img/s"
                 )
+                if self.tb_writer is not None:
+                    import tensorflow as tf
+
+                    with self.tb_writer.as_default():
+                        tf.summary.scalar("train/loss", loss, step=step)
+                        tf.summary.scalar("train/lr", lr, step=step)
+                        tf.summary.scalar("train/img_per_s", c.batch_size / dt, step=step)
             if step % c.save_every == 0 or step == c.num_steps:
                 self._save(step)
         return {"final_step": step, "final_loss": last_loss}

@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Train + evaluate CCNet on a TPU host (capability parity with the
+# reference's run_local.sh 4-GPU torch.distributed.launch recipe — here one
+# process drives every chip via SPMD, so there is no launcher).
+#
+# Usage: ./run_local.sh <cityscapes_path> <model> <num_steps> <input_size> <ohem>
+# e.g. : ./run_local.sh /data/cityscapes ccnet 60000 769,769 1
+set -euo pipefail
+
+CS_PATH=${1:-/data/cityscapes}
+MODEL=${2:-ccnet}
+NUM_STEPS=${3:-60000}
+INPUT_SIZE=${4:-769,769}
+OHEM=${5:-1}
+LR=${LR:-1e-2}
+WD=${WD:-5e-4}
+BS=${BS:-8}
+SNAPSHOT_DIR=${SNAPSHOT_DIR:-snapshots}
+
+python -m ccnet_tpu.cli.train \
+  --data-dir "$CS_PATH" --model "$MODEL" --num-steps "$NUM_STEPS" \
+  --input-size "$INPUT_SIZE" --ohem "$OHEM" --batch-size "$BS" \
+  --learning-rate "$LR" --weight-decay "$WD" --snapshot-dir "$SNAPSHOT_DIR" \
+  ${RESTORE_FROM:+--restore-from "$RESTORE_FROM"}
+
+python -m ccnet_tpu.cli.evaluate \
+  --data-dir "$CS_PATH" --model "$MODEL" --input-size "$INPUT_SIZE" \
+  --restore-from "$SNAPSHOT_DIR/CS_scenes_${NUM_STEPS}.pth" \
+  --output-dir outputs
