@@ -52,6 +52,9 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = get_logger("ccnet_tpu.cli.evaluate")
     h, w = (int(x) for x in args.input_size.split(","))
+    if args.fp32:
+        # strict numerics: f32 MXU passes instead of the TPU's bf16 default
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     model = build_model(
         args.model, num_classes=args.num_classes, recurrence=args.recurrence,

@@ -54,6 +54,8 @@ def get_parser():
     p.add_argument("--fp32", type=str2bool, default=False)
     p.add_argument("--no-remat", type=str2bool, default=False)
     p.add_argument("--export-pth", type=str2bool, default=True)
+    p.add_argument("--augment-backend", type=str, default="device",
+                   choices=["device", "native", "precropped"])
     p.add_argument("--tensorboard", type=str2bool, default=False)
     p.add_argument("--profile-steps", type=str, default=None,
                    help="start,stop step range for a jax.profiler trace")
@@ -77,6 +79,7 @@ def main(argv=None):
         snapshot_dir=args.snapshot_dir, restore_from=args.restore_from,
         resume=args.resume, start_step=args.start_iters, seed=args.random_seed,
         bf16=not args.fp32, remat=not args.no_remat, export_pth=args.export_pth,
+        augment_backend=args.augment_backend,
         tensorboard=args.tensorboard,
         profile_steps=(tuple(int(x) for x in args.profile_steps.split(","))
                        if args.profile_steps else None),

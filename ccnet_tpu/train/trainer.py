@@ -66,7 +66,9 @@ class TrainConfig:
     log_every: int = 10
     space: int = 1
     mean: Tuple[float, float, float] = CITYSCAPES_MEAN_BGR
-    augment_on_device: bool = True
+    # 'device': jitted gather-sampler on TPU; 'native': C++/OpenMP host
+    # kernel (ccnet_tpu/native); 'precropped': loader already yields crops
+    augment_backend: str = "device"
     scale_min: float = 0.7
     scale_steps: int = 15
     tensorboard: bool = False
@@ -130,15 +132,32 @@ class Trainer:
 
     def _prepare_batch(self, images: np.ndarray, labels: np.ndarray, step: int):
         c = self.cfg
-        if c.augment_on_device:
+        if c.augment_backend == "device":
             key = jax.random.fold_in(self.rng, step)
             imgs, lbls = device_augment_batch(
                 jnp.asarray(images), jnp.asarray(labels), key,
                 crop_hw=tuple(c.input_size), ignore_label=c.ignore_label,
                 scale_min=c.scale_min, scale_steps=c.scale_steps,
             )
-        else:  # host path: images/labels are already augmented crops
+        elif c.augment_backend == "native":
+            from ccnet_tpu import native
+
+            rng = np.random.RandomState((c.seed + step) % (2 ** 31))
+            B = images.shape[0]
+            scales, offs, flips = native.draw_augment_params(
+                rng, B, images.shape[1:3], tuple(c.input_size),
+                scale_min=c.scale_min, scale_steps=c.scale_steps,
+            )
+            lut = np.arange(256, dtype=np.uint8)  # labels arrive trainId-mapped
+            imgs_np, lbls_np = native.augment_batch(
+                images.astype(np.uint8), labels.astype(np.uint8), lut,
+                scales, offs, flips, tuple(c.input_size), c.mean, c.ignore_label,
+            )
+            imgs, lbls = jnp.asarray(imgs_np), jnp.asarray(lbls_np)
+        elif c.augment_backend == "precropped":
             imgs, lbls = jnp.asarray(images), jnp.asarray(labels)
+        else:
+            raise ValueError(f"unknown augment_backend {c.augment_backend!r}")
         if self.mesh is not None:
             imgs, lbls = shard_batch(self.mesh, imgs, lbls)
         return imgs, lbls

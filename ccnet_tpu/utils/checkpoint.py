@@ -182,7 +182,8 @@ def save_pth(variables, path: str):
     """Export to a reference-compatible ``.pth`` (torch serialization)."""
     import torch
 
-    sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+    # .copy(): torch refuses to wrap read-only numpy views (jax exports)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in
           variables_to_torch_state_dict(variables).items()}
     torch.save(sd, path)
 
