@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import argparse
 
-from ccnet_tpu.data import CityscapesDataset, DataLoader, SyntheticDataset
+from ccnet_tpu.data import (AugmentingDataset, CityscapesDataset, DataLoader,
+                            SyntheticDataset, VOCDataset)
 from ccnet_tpu.train.trainer import TrainConfig, Trainer
 from ccnet_tpu.utils import get_logger
 
@@ -23,6 +24,8 @@ def str2bool(v):
 
 def get_parser():
     p = argparse.ArgumentParser(description="ccnet_tpu training")
+    p.add_argument("--dataset", type=str, default="cityscapes",
+                   choices=["cityscapes", "voc"])
     p.add_argument("--data-dir", type=str, default="cityscapes")
     p.add_argument("--data-list", type=str, default=None,
                    help=".lst file (image label per line); default: discover layout")
@@ -88,6 +91,18 @@ def main(argv=None):
         sh, sw = (int(x) for x in args.synthetic_size.split(","))
         dataset = SyntheticDataset(n=max(args.batch_size * 4, 16), hw=(sh, sw),
                                    num_classes=args.num_classes)
+    elif args.dataset == "voc":
+        # variable-size images: host augmentation, crops arrive pre-made
+        from ccnet_tpu.data.voc import VOC_MEAN, VOC_SCALE_MIN, VOC_SCALE_STEPS
+
+        raw = VOCDataset(args.data_dir, args.data_list)
+        dataset = AugmentingDataset(
+            raw, crop_hw=(h, w), mean=VOC_MEAN, ignore_label=args.ignore_label,
+            scale_min=VOC_SCALE_MIN, scale_steps=VOC_SCALE_STEPS,
+            seed=args.random_seed,
+        )
+        cfg.augment_backend = "precropped"
+        cfg.mean = VOC_MEAN
     else:
         dataset = CityscapesDataset(args.data_dir, args.data_list, split="train")
     loader = DataLoader(dataset, args.batch_size, shuffle=True,

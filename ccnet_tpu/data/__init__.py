@@ -10,7 +10,7 @@ from ccnet_tpu.data.cityscapes import (
     trainid_to_labelid,
 )
 from ccnet_tpu.data.voc import VOCDataset
-from ccnet_tpu.data.loader import DataLoader, SyntheticDataset
+from ccnet_tpu.data.loader import AugmentingDataset, DataLoader, SyntheticDataset
 from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
 
 __all__ = [
@@ -22,6 +22,7 @@ __all__ = [
     "trainid_lut",
     "trainid_to_labelid",
     "VOCDataset",
+    "AugmentingDataset",
     "DataLoader",
     "SyntheticDataset",
     "cityscapes_palette",

@@ -42,6 +42,48 @@ class SyntheticDataset:
         return image, label, self.name(index)
 
 
+class AugmentingDataset:
+    """Wraps a dataset of variable-size raw samples with host-side
+    augmentation so every sample comes out as a fixed-size crop.
+
+    Used for datasets whose images vary in size (VOC) where the static-shape
+    device augmenter cannot apply; Cityscapes should prefer the device or
+    native backends. Deterministic per (seed, index).
+    """
+
+    def __init__(self, dataset, crop_hw=(321, 321), mean=(128.0, 128.0, 128.0),
+                 scale: bool = True, mirror: bool = True, ignore_label: int = 255,
+                 scale_min: float = 0.5, scale_steps: int = 12, seed: int = 0):
+        from ccnet_tpu.data.preprocess import host_augment
+
+        self._augment = host_augment
+        self.dataset = dataset
+        self.crop_hw = crop_hw
+        self.mean = mean
+        self.scale = scale
+        self.mirror = mirror
+        self.ignore_label = ignore_label
+        self.scale_min = scale_min
+        self.scale_steps = scale_steps
+        self.seed = seed
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def name(self, index):
+        return self.dataset.name(index)
+
+    def __getitem__(self, index):
+        image, label, name = self.dataset[index]
+        rng = np.random.RandomState((self.seed * 1000003 + index) % (2 ** 31))
+        img, lbl = self._augment(
+            image, label, rng, crop_hw=self.crop_hw, mean=self.mean,
+            ignore_label=self.ignore_label, scale=self.scale, mirror=self.mirror,
+            scale_min=self.scale_min, scale_steps=self.scale_steps,
+        )
+        return img, lbl, name
+
+
 class DataLoader:
     """Iterates (images, labels, names) batches with background prefetch.
 

@@ -130,3 +130,39 @@ def test_loader_deterministic_and_complete():
     assert len(batches1) == 2  # drop_last
     flat = [n for b in batches1 for n in b]
     assert len(set(flat)) == 8
+
+
+def test_augmenting_dataset_voc_style(tmp_path):
+    """VOC-style variable-size dataset through AugmentingDataset + DataLoader."""
+    cv2_ = pytest.importorskip("cv2")
+    import os
+
+    os.makedirs(tmp_path / "JPEGImages", exist_ok=True)
+    os.makedirs(tmp_path / "SegmentationClassAug", exist_ok=True)
+    rng = np.random.RandomState(0)
+    ids = []
+    for i, (h, w) in enumerate([(60, 80), (90, 70), (50, 50)]):
+        name = f"img{i}"
+        ids.append(name)
+        cv2_.imwrite(str(tmp_path / "JPEGImages" / f"{name}.jpg"),
+                     rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+        cv2_.imwrite(str(tmp_path / "SegmentationClassAug" / f"{name}.png"),
+                     rng.randint(0, 21, (h, w)).astype(np.uint8))
+    (tmp_path / "list.txt").write_text("\n".join(ids))
+
+    from ccnet_tpu.data import AugmentingDataset, DataLoader, VOCDataset
+    from ccnet_tpu.data.voc import VOC_MEAN, VOC_SCALE_MIN, VOC_SCALE_STEPS
+
+    raw = VOCDataset(str(tmp_path), str(tmp_path / "list.txt"))
+    ds = AugmentingDataset(raw, crop_hw=(64, 64), mean=VOC_MEAN,
+                           scale_min=VOC_SCALE_MIN, scale_steps=VOC_SCALE_STEPS)
+    dl = DataLoader(ds, batch_size=3, shuffle=False, num_workers=2, drop_last=False)
+    batches = list(dl)
+    assert len(batches) == 1
+    imgs, lbls, names = batches[0]
+    assert imgs.shape == (3, 64, 64, 3) and lbls.shape == (3, 64, 64)
+    assert set(names) == set(ids)
+    # determinism per (seed, index)
+    img2, lbl2, _ = ds[1]
+    img3, lbl3, _ = ds[1]
+    np.testing.assert_array_equal(img2, img3)
