@@ -45,10 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _pick_tile(n_attend: int, cv: int, budget_bytes: int = 3_000_000) -> int:
-    """Tile size (pixel-lines per grid step) keeping v/o blocks under budget."""
-    per_line = n_attend * cv * 4
-    return max(1, min(8, budget_bytes // max(per_line, 1)))
+def _pick_tile(n_attend: int, cv: int, itemsize: int, budget_bytes: int = 3_000_000) -> int:
+    """Tile size (pixel-lines per grid step) keeping v/o blocks under budget.
+
+    The grid is DMA-bound (~24 µs/step floor measured on v5e), so bigger
+    tiles and narrower dtypes directly cut wall-clock."""
+    per_line = n_attend * cv * itemsize
+    t = max(1, min(16, budget_bytes // max(per_line, 1)))
+    return 16 if t >= 16 else 8  # sublane rule: tile dim must divide by 8
 
 
 # ---------------------------------------------------------------- forward ---
@@ -82,7 +86,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, tile: int, masked: 
         p.astype(mxu_dtype), v_b, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (T, N, Cv)
-    o_ref[0] = o
+    o_ref[0] = o.astype(o_ref.dtype)
     m_ref[0] = m
     l_ref[0] = l
 
@@ -92,7 +96,7 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
     the M independent lines. Returns o (f32), m, l."""
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cv)
+    T = _pick_tile(N, Cv, v.dtype.itemsize)
     Mp = -(-M // T) * T
     if Mp != M:
         pad = [(0, 0), (0, Mp - M), (0, 0), (0, 0)]
@@ -119,7 +123,13 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
             pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Mp, N, Cv), jnp.float32),
+            # DMA-bound grid: write the unnormalised aggregate in the value
+            # dtype (bf16 in training) to halve traffic; keep f32 under
+            # 'highest' precision for strict parity.
+            jax.ShapeDtypeStruct(
+                (B, Mp, N, Cv),
+                jnp.float32 if mxu_dtype == jnp.float32 else v.dtype,
+            ),
             jax.ShapeDtypeStruct((B, Mp, N), jnp.float32),
             jax.ShapeDtypeStruct((B, Mp, N), jnp.float32),
         ),
@@ -143,7 +153,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
     q_b = q_ref[0].astype(mxu_dtype)  # (T, N, Cq)
     k_b = k_ref[0].astype(mxu_dtype)
     v_b = v_ref[0].astype(mxu_dtype)
-    g_b = g_ref[0]  # (T, N, Cv) f32
+    g_b = g_ref[0].astype(jnp.float32)  # (T, N, Cv)
     e = jax.lax.dot_general(
         q_b, k_b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (T, N, N)
@@ -173,7 +183,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
 def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dtype):
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cv)
+    T = _pick_tile(N, Cv, v.dtype.itemsize, budget_bytes=1_000_000)
     Mp = -(-M // T) * T
     if Mp != M:
         pad4 = [(0, 0), (0, Mp - M), (0, 0), (0, 0)]
@@ -241,7 +251,8 @@ def _fwd_impl(q, k, v, interpret: bool, precision: str):
     a_c = jnp.exp(m_c - m)
     a_r = jnp.exp(m_r - m)
     L = l_c * a_c + l_r * a_r
-    out = (o_c * a_c[..., None] + o_r * a_r[..., None]) / L[..., None]
+    out = (o_c.astype(jnp.float32) * a_c[..., None]
+           + o_r.astype(jnp.float32) * a_r[..., None]) / L[..., None]
     return out, m, L
 
 
@@ -258,8 +269,10 @@ def _cca_fwd(q, k, v, interpret: bool, precision: str):
 
 def _cca_bwd(interpret: bool, precision: str, res, g):
     q, k, v, out, m, L = res
-    g = g.astype(jnp.float32)
-    delta = jnp.sum(g * out, axis=-1)  # (B, H, W)
+    delta = jnp.sum(g.astype(jnp.float32) * out, axis=-1)  # (B, H, W)
+    # d_out rides through the kernels in the value dtype under default
+    # precision (DMA-bound grid); f32 under 'highest'.
+    g = g.astype(jnp.float32 if precision == "highest" else v.dtype)
 
     md = _mxu_dtype(precision)
     dq_c, dk_c, dv_c = _run_path_bwd(
