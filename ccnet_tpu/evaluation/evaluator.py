@@ -34,6 +34,7 @@ class Evaluator:
         ignore_label: int = 255,
         mean=CITYSCAPES_MEAN_BGR,
         class_names: Optional[Sequence[str]] = None,
+        mesh=None,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -56,6 +57,7 @@ class Evaluator:
             logits = predict_multiscale(
                 self.apply_fn, x, self.tile_hw, self.num_classes,
                 scales=self.scales, flip=self.flip, whole=self.whole,
+                mesh=mesh,
             )
             return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 

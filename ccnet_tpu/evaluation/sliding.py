@@ -51,6 +51,7 @@ def predict_sliding(
     num_classes: int,
     overlap: float = 1.0 / 3.0,
     tiles_per_call: int = 8,
+    mesh=None,
 ) -> jnp.ndarray:
     """(B, H, W, C) softmax-able logits-probabilities… returns per-pixel
     *probabilities* averaged over overlapping tiles (reference semantics:
@@ -81,6 +82,16 @@ def predict_sliding(
             chunk = jnp.concatenate(
                 [chunk, jnp.zeros((step - chunk.shape[0], th, tw, 3), chunk.dtype)], 0
             )
+        if mesh is not None:
+            # data-parallel eval: the tile batch shards across the mesh (the
+            # reference sharded val IMAGES per rank and all-reduced the
+            # confusion matrix; sharding tiles inside one jit is equivalent
+            # and keeps single-program semantics)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            chunk = jax.lax.with_sharding_constraint(
+                chunk, NamedSharding(mesh, P(mesh.axis_names, None, None, None))
+            )
         logits = apply_fn(chunk)
         logits = resize_bilinear_align_corners(logits.astype(jnp.float32), (th, tw))
         outs.append(logits)
@@ -110,6 +121,7 @@ def predict_multiscale(
     flip: bool = False,
     overlap: float = 1.0 / 3.0,
     whole: bool = False,
+    mesh=None,
 ) -> jnp.ndarray:
     """Multi-scale + flip averaging (reference evaluate.py:155-175): resize
     input per scale, sliding (or whole) prediction, optional horizontal-flip
@@ -117,7 +129,7 @@ def predict_multiscale(
     B, H, W, _ = image.shape
     acc = jnp.zeros((B, H, W, num_classes), jnp.float32)
     predict = predict_whole if whole else (
-        lambda fn, im, nc: predict_sliding(fn, im, tile_hw, nc, overlap)
+        lambda fn, im, nc: predict_sliding(fn, im, tile_hw, nc, overlap, mesh=mesh)
     )
     for s in scales:
         sh, sw = int(H * float(s)), int(W * float(s))

@@ -172,6 +172,19 @@ class Trainer:
             save_pth(variables, osp.join(c.snapshot_dir, f"CS_scenes_{step}.pth"))
 
     def run(self, loader) -> dict:
+        """Train to ``num_steps``. On crash or Ctrl-C an emergency full-state
+        checkpoint is written first (the reference lost up to 10k steps of
+        work on failure, SURVEY §5.3)."""
+        try:
+            return self._run(loader)
+        except (KeyboardInterrupt, Exception):
+            step = int(self.state.step)
+            if step > self.start_step:
+                self.logger.warning(f"interrupted at step {step}; saving emergency checkpoint")
+                self._save(step)
+            raise
+
+    def _run(self, loader) -> dict:
         c = self.cfg
         step = self.start_step
         key = jax.random.PRNGKey(c.seed + 2)

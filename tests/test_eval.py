@@ -124,3 +124,20 @@ def test_evaluator_end_to_end(tmp_path):
     assert res["meanIU"] > 0.9, res["meanIU"]
     assert (tmp_path / "result.txt").exists()
     assert (tmp_path / "im0.png").exists()
+
+
+def test_sliding_with_mesh_matches_single_device():
+    """Tile batch sharded over the 8-device mesh == unsharded result."""
+    from ccnet_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(3)
+    Wt = jnp.asarray(rng.randn(3, 5).astype(np.float32))
+
+    def apply_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)
+
+    img = jnp.asarray(rng.randn(1, 50, 70, 3).astype(np.float32))
+    plain = jax.jit(lambda im: predict_sliding(apply_fn, im, (32, 32), 5))(img)
+    mesh = make_mesh()
+    meshed = jax.jit(lambda im: predict_sliding(apply_fn, im, (32, 32), 5, mesh=mesh))(img)
+    np.testing.assert_allclose(np.asarray(meshed), np.asarray(plain), atol=1e-5)
