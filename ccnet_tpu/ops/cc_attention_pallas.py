@@ -133,6 +133,11 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
             jax.ShapeDtypeStruct((B, Mp, N), jnp.float32),
             jax.ShapeDtypeStruct((B, Mp, N), jnp.float32),
         ),
+        # both grid dims are embarrassingly parallel -> split across the
+        # chip's two megacores (the grid is launch/DMA bound, not compute)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         interpret=interpret,
     )(q, k, v)
     if Mp != M:
@@ -221,6 +226,9 @@ def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dt
             jax.ShapeDtypeStruct((B, Mp, N, Cq), jnp.float32),
             jax.ShapeDtypeStruct((B, Mp, N, Cq), jnp.float32),
             jax.ShapeDtypeStruct((B, Mp, N, Cv), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
         ),
         interpret=interpret,
     )(q, k, v, g, m, L, delta)
