@@ -14,7 +14,6 @@ that depends on the whole step chain.
 """
 
 import json
-import sys
 import time
 
 import numpy as np

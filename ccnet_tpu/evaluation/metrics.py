@@ -8,7 +8,7 @@ In multi-host settings the accumulated matrix is summed with one collective
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ instead of a dynamic boolean gather.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -6,7 +6,7 @@ string-eval dispatch (reference ``train.py:175``) with a plain registry.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any
 
 import jax.numpy as jnp
 

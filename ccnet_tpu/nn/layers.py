@@ -26,7 +26,7 @@ with m=0.1 and the *unbiased* batch variance for the running-var update
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,6 @@ instead of the NaN that (−inf) − (−inf) would produce.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

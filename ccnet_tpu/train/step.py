@@ -12,8 +12,7 @@ State is donated: params/momentum buffers are updated in place in HBM.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

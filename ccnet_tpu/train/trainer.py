@@ -12,8 +12,8 @@ from __future__ import annotations
 import os
 import os.path as osp
 import time
-from dataclasses import dataclass, field
-from typing import Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
