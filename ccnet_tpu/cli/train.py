@@ -70,6 +70,9 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = get_logger("ccnet_tpu.cli.train")
+    from ccnet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(logger)
     h, w = (int(x) for x in args.input_size.split(","))
 
     cfg = TrainConfig(

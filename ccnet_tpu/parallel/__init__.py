@@ -1,3 +1,4 @@
+from ccnet_tpu.parallel.distributed import is_primary_host, maybe_initialize_distributed
 from ccnet_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
@@ -8,6 +9,8 @@ from ccnet_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "is_primary_host",
+    "maybe_initialize_distributed",
     "make_mesh",
     "replicated_sharding",
     "batch_sharding",

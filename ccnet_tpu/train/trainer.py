@@ -22,7 +22,7 @@ import numpy as np
 from ccnet_tpu.data.preprocess import CITYSCAPES_MEAN_BGR, device_augment_batch
 from ccnet_tpu.losses import build_criterion
 from ccnet_tpu.models import build_model
-from ccnet_tpu.parallel import make_mesh, shard_batch
+from ccnet_tpu.parallel import is_primary_host, make_mesh, shard_batch
 from ccnet_tpu.train.optim import make_optimizer
 from ccnet_tpu.train.state import create_train_state
 from ccnet_tpu.train.step import make_train_step
@@ -163,6 +163,8 @@ class Trainer:
         return imgs, lbls
 
     def _save(self, step: int):
+        if not is_primary_host():  # rank-0-only checkpointing
+            return
         c = self.cfg
         os.makedirs(c.snapshot_dir, exist_ok=True)
         save_checkpoint(c.snapshot_dir, self.state, step)
