@@ -43,6 +43,8 @@ def get_parser():
     p.add_argument("--save-preds", type=str2bool, default=True)
     p.add_argument("--fp32", type=str2bool, default=False)
     p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--data-parallel", type=str2bool, default=True,
+                   help="shard the tile batch over all devices (no-op on 1 chip)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=str, default="1024,2048")
     return p
@@ -87,11 +89,17 @@ def main(argv=None):
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
                         num_workers=args.num_workers, drop_last=False)
 
+    mesh = None
+    if args.data_parallel and len(jax.devices()) > 1 and not args.whole:
+        from ccnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     evaluator = Evaluator(
         apply_fn, num_classes=args.num_classes, tile_hw=(h, w),
         scales=[float(s) for s in args.scales.split(",")],
         flip=args.flip, whole=args.whole,
         class_names=CITYSCAPES_CLASS_NAMES if args.num_classes == 19 else None,
+        mesh=mesh,
     )
     result = evaluator.run(loader, output_dir=args.output_dir,
                            save_preds=args.save_preds, logger=logger)

@@ -103,13 +103,17 @@ def device_augment(
     return img, lbl
 
 
-@functools.partial(jax.jit, static_argnames=("crop_hw", "ignore_label", "scale_min", "scale_steps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("crop_hw", "mean", "ignore_label", "scale_min", "scale_steps"),
+)
 def device_augment_batch(images, labels, key, crop_hw=(769, 769),
-                         ignore_label=255, scale_min=SCALE_MIN, scale_steps=SCALE_STEPS):
+                         mean=CITYSCAPES_MEAN_BGR, ignore_label=255,
+                         scale_min=SCALE_MIN, scale_steps=SCALE_STEPS):
     """vmap'd augmentation: (B, H0, W0, 3) raw + (B, H0, W0) labels → crops."""
     keys = jax.random.split(key, images.shape[0])
     fn = functools.partial(
-        device_augment, crop_hw=crop_hw, ignore_label=ignore_label,
+        device_augment, crop_hw=crop_hw, mean=tuple(mean), ignore_label=ignore_label,
         scale_min=scale_min, scale_steps=scale_steps,
     )
     return jax.vmap(fn)(images, labels, keys)

@@ -136,7 +136,8 @@ class Trainer:
             key = jax.random.fold_in(self.rng, step)
             imgs, lbls = device_augment_batch(
                 jnp.asarray(images), jnp.asarray(labels), key,
-                crop_hw=tuple(c.input_size), ignore_label=c.ignore_label,
+                crop_hw=tuple(c.input_size), mean=tuple(c.mean),
+                ignore_label=c.ignore_label,
                 scale_min=c.scale_min, scale_steps=c.scale_steps,
             )
         elif c.augment_backend == "native":
