@@ -166,3 +166,16 @@ def test_augmenting_dataset_voc_style(tmp_path):
     img2, lbl2, _ = ds[1]
     img3, lbl3, _ = ds[1]
     np.testing.assert_array_equal(img2, img3)
+
+
+def test_matmul_sampler_matches_gather():
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.randint(0, 256, (2, 64, 96, 3)).astype(np.float32))
+    lbl = jnp.asarray(rng.randint(0, 19, (2, 64, 96)).astype(np.int32))
+    from ccnet_tpu.data import device_augment_batch
+
+    a_i, a_l = device_augment_batch(img, lbl, jax.random.PRNGKey(7), crop_hw=(48, 48))
+    b_i, b_l = device_augment_batch(img, lbl, jax.random.PRNGKey(7), crop_hw=(48, 48),
+                                    sampler="matmul")
+    np.testing.assert_allclose(np.asarray(a_i), np.asarray(b_i), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
