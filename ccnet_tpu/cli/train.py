@@ -108,8 +108,18 @@ def main(argv=None):
         cfg.mean = VOC_MEAN
     else:
         dataset = CityscapesDataset(args.data_dir, args.data_list, split="train")
-    loader = DataLoader(dataset, args.batch_size, shuffle=True,
-                        seed=args.random_seed, num_workers=args.num_workers)
+    import jax
+
+    if args.batch_size % jax.process_count():
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must divide over "
+            f"{jax.process_count()} processes"
+        )
+    # batch_size is the GLOBAL batch (reference semantics, run_local.sh);
+    # each process loads its 1/process_count share
+    loader = DataLoader(dataset, args.batch_size // jax.process_count(),
+                        shuffle=True, seed=args.random_seed,
+                        num_workers=args.num_workers)
     trainer = Trainer(cfg)
     result = trainer.run(loader)
     logger.info(f"training done: {result}")

@@ -15,7 +15,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -89,6 +89,16 @@ class DataLoader:
 
     Yields raw host arrays; device placement/augmentation is the trainer's
     job (so the loader stays backend-agnostic and testable).
+
+    Multi-process (multi-host) sharding follows the reference's
+    ``DistributedSampler`` semantics (``engine.py:85-97``): each process takes
+    a strided slice of the epoch-seeded permutation — identical permutation
+    on every process, disjoint strides — and ``batch_size`` is the
+    *per-process* batch. Unlike ``DistributedSampler`` we never pad with
+    duplicate samples (which would double-count images in eval); the tail
+    that doesn't fill a batch is dropped (``drop_last``) or short.
+    ``process_index``/``process_count`` default to the live ``jax.distributed``
+    topology (1 process when uninitialised).
     """
 
     def __init__(
@@ -100,6 +110,8 @@ class DataLoader:
         num_workers: int = 8,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -109,6 +121,15 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        if process_index is None or process_count is None:
+            import jax
+
+            process_index = jax.process_index() if process_index is None else process_index
+            process_count = jax.process_count() if process_count is None else process_count
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} not in [0, {process_count})")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -116,11 +137,13 @@ class DataLoader:
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
-            return np.random.RandomState(self.seed + self.epoch).permutation(n)
-        return np.arange(n)
+            order = np.random.RandomState(self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.process_index::self.process_count]
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._order())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator:
@@ -129,21 +152,17 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def assemble(idxs):
-            with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                samples = list(ex.map(self.dataset.__getitem__, idxs))
-            images = np.stack([s[0] for s in samples])
-            labels = np.stack([s[1] for s in samples])
-            names = [s[2] for s in samples]
-            return images, labels, names
-
         def producer():
             try:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(assemble(idxs))
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                        samples = list(ex.map(self.dataset.__getitem__, idxs))
+                        images = np.stack([s[0] for s in samples])
+                        labels = np.stack([s[1] for s in samples])
+                        q.put((images, labels, [s[2] for s in samples]))
             except Exception as e:  # surface decode errors to the consumer
                 q.put(e)
             finally:

@@ -18,7 +18,7 @@ import numpy as np
 
 from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
 from ccnet_tpu.data.preprocess import CITYSCAPES_MEAN_BGR
-from ccnet_tpu.evaluation.metrics import ConfusionAccumulator
+from ccnet_tpu.evaluation.metrics import ConfusionAccumulator, iou_from_confusion
 from ccnet_tpu.evaluation.sliding import predict_multiscale
 
 
@@ -82,17 +82,25 @@ class Evaluator:
                     save_indexed_png(osp.join(output_dir, f"{name}.png"), p, palette)
             n_done += len(names)
             if logger and n_done % log_every < len(names):
-                _, miou = acc.result()
+                # process-local running estimate (no collective mid-loop:
+                # processes reach this point at different times)
+                _, miou = acc.result(cross_process=False)
                 logger.info(f"eval {n_done} images, running meanIU {miou:.4f}")
-        iu, mean_iu = acc.result()
+        # one cross-process sum at the end, like the reference's single NCCL
+        # all-reduce of the confusion matrix (evaluate.py:267-268)
+        cm = acc.global_matrix()
+        iu, mean_iu = iou_from_confusion(cm)
         result = {
             "meanIU": mean_iu,
             "IU_array": [float(x) for x in iu],
-            "confusion": np.asarray(acc.cm).tolist(),
+            "confusion": cm.tolist(),
         }
         if self.class_names:
             result["per_class"] = {n: float(x) for n, x in zip(self.class_names, iu)}
         if output_dir:
-            with open(osp.join(output_dir, "result.txt"), "w") as f:
-                json.dump({"meanIU": result["meanIU"], "IU_array": result["IU_array"]}, f)
+            from ccnet_tpu.parallel import is_primary_host
+
+            if is_primary_host():  # reference writes result.txt on rank 0 only
+                with open(osp.join(output_dir, "result.txt"), "w") as f:
+                    json.dump({"meanIU": result["meanIU"], "IU_array": result["IU_array"]}, f)
         return result

@@ -2,8 +2,9 @@
 
 Same math as the reference's bincount trick (``evaluate.py:177-195``) and
 IoU formula ``tp / (pos + res − tp)`` (``evaluate.py:269-273``), on device.
-In multi-host settings the accumulated matrix is summed with one collective
-(the reference all-reduced it over NCCL, ``evaluate.py:267-268``).
+``ConfusionAccumulator.result`` sums the per-process matrices with one
+cross-process gather when ``jax.distributed`` is live — the TPU equivalent
+of the reference's NCCL confusion-matrix all-reduce (``evaluate.py:267-268``).
 """
 
 from __future__ import annotations
@@ -38,6 +39,21 @@ def iou_from_confusion(cm: np.ndarray) -> Tuple[np.ndarray, float]:
     return iu, mean_iu
 
 
+def cross_process_sum(cm: np.ndarray) -> np.ndarray:
+    """Sum a host-local matrix over all ``jax.distributed`` processes.
+
+    Every process must call this (it is a collective). Identity when a
+    single process is running. Replaces the reference's NCCL all-reduce of
+    the eval confusion matrix (``evaluate.py:267-268``).
+    """
+    if jax.process_count() == 1:
+        return np.asarray(cm)
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(cm))
+    return np.asarray(gathered).sum(axis=0)
+
+
 class ConfusionAccumulator:
     """Accumulates a confusion matrix across batches (on device)."""
 
@@ -53,5 +69,10 @@ class ConfusionAccumulator:
     def update(self, labels, preds):
         self.cm = self._update(self.cm, labels, preds)
 
-    def result(self) -> Tuple[np.ndarray, float]:
-        return iou_from_confusion(np.asarray(self.cm))
+    def global_matrix(self) -> np.ndarray:
+        """The confusion matrix summed over all processes (collective)."""
+        return cross_process_sum(np.asarray(self.cm))
+
+    def result(self, cross_process: bool = True) -> Tuple[np.ndarray, float]:
+        cm = self.global_matrix() if cross_process else np.asarray(self.cm)
+        return iou_from_confusion(cm)

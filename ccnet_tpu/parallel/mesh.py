@@ -71,9 +71,27 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS, None, None))
 
 
+def _put(array, sharding: NamedSharding):
+    """Place a host array onto the mesh.
+
+    Single process: plain ``device_put``. Multi-process (multi-host slice):
+    the argument is this process's *local* shard of the global batch —
+    assemble the global array from per-process data (the TPU equivalent of
+    the reference's per-rank batch split, ``engine.py:85-97``).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(array))
+
+
 def shard_batch(mesh: Mesh, images, labels=None):
-    """Place a host batch onto the mesh with the canonical shardings."""
-    images = jax.device_put(images, batch_sharding(mesh))
+    """Place a host batch onto the mesh with the canonical shardings.
+
+    Under multi-process execution each process passes its local portion
+    (``global_batch / process_count`` samples); the returned arrays are
+    global jax.Arrays spanning the whole mesh.
+    """
+    images = _put(images, batch_sharding(mesh))
     if labels is None:
         return images
-    return images, jax.device_put(labels, label_sharding(mesh))
+    return images, _put(labels, label_sharding(mesh))

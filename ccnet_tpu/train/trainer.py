@@ -91,14 +91,23 @@ class Trainer:
             thresh=c.ohem_thres, min_kept=c.ohem_keep,
         )
         n_dev = len(jax.devices())
-        n_use = min(n_dev, c.batch_size)
-        while n_use > 1 and (c.batch_size % n_use or n_use % c.space):
-            n_use -= 1
-        self.mesh = (
-            make_mesh(jax.devices()[:n_use], space=c.space) if n_use > 1 else None
-        )
-        if n_use < n_dev:
-            self.logger.info(f"using {n_use}/{n_dev} devices (batch {c.batch_size})")
+        if jax.process_count() > 1:
+            # multi-host slice: every global device participates; the loader
+            # feeds each process batch_size/process_count samples
+            if c.batch_size % n_dev:
+                raise ValueError(
+                    f"global batch {c.batch_size} must divide over {n_dev} devices"
+                )
+            self.mesh = make_mesh(jax.devices(), space=c.space)
+        else:
+            n_use = min(n_dev, c.batch_size)
+            while n_use > 1 and (c.batch_size % n_use or n_use % c.space):
+                n_use -= 1
+            self.mesh = (
+                make_mesh(jax.devices()[:n_use], space=c.space) if n_use > 1 else None
+            )
+            if n_use < n_dev:
+                self.logger.info(f"using {n_use}/{n_dev} devices (batch {c.batch_size})")
         self.state = create_train_state(
             self.model, self.tx, input_shape=(1, *c.input_size, 3),
             rng=jax.random.PRNGKey(c.seed),
@@ -133,7 +142,11 @@ class Trainer:
     def _prepare_batch(self, images: np.ndarray, labels: np.ndarray, step: int):
         c = self.cfg
         if c.augment_backend == "device":
-            key = jax.random.fold_in(self.rng, step)
+            # distinct augmentation draws per step AND per host (each host
+            # holds a different local shard of the global batch)
+            key = jax.random.fold_in(
+                jax.random.fold_in(self.rng, step), jax.process_index()
+            )
             imgs, lbls = device_augment_batch(
                 jnp.asarray(images), jnp.asarray(labels), key,
                 crop_hw=tuple(c.input_size), mean=tuple(c.mean),
@@ -143,7 +156,9 @@ class Trainer:
         elif c.augment_backend == "native":
             from ccnet_tpu import native
 
-            rng = np.random.RandomState((c.seed + step) % (2 ** 31))
+            rng = np.random.RandomState(
+                (c.seed + step * 1009 + jax.process_index()) % (2 ** 31)
+            )
             B = images.shape[0]
             scales, offs, flips = native.draw_augment_params(
                 rng, B, images.shape[1:3], tuple(c.input_size),

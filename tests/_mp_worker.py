@@ -1,0 +1,81 @@
+"""Worker for the multi-process (multi-host simulation) test.
+
+Launched N times by tests/test_multiprocess.py; each instance is one
+``jax.distributed`` process with 2 local virtual CPU devices. Together they
+exercise the real multi-host code paths:
+
+* ``DataLoader`` per-process sharding (strided, DistributedSampler-style),
+* ``ConfusionAccumulator.global_matrix`` cross-process sum
+  (reference evaluate.py:267-268),
+* ``shard_batch`` assembling a global batch from per-process local data
+  (reference engine.py:85-97) feeding one mesh train step.
+
+Usage: python _mp_worker.py <coordinator> <nproc> <pid> <outdir>
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    coordinator, nproc, pid, outdir = sys.argv[1:5]
+    nproc, pid = int(nproc), int(pid)
+    jax.distributed.initialize(coordinator, num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ccnet_tpu.data import DataLoader, SyntheticDataset
+    from ccnet_tpu.evaluation.metrics import ConfusionAccumulator
+    from ccnet_tpu.losses import build_criterion
+    from ccnet_tpu.models import CCNet
+    from ccnet_tpu.parallel import make_mesh, shard_batch
+    from ccnet_tpu.train import create_train_state, make_optimizer, make_train_step
+
+    # ---- eval path: sharded loader + cross-process confusion sum ---------
+    ds = SyntheticDataset(n=10, hw=(17, 17), num_classes=5, seed=3)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=2)
+    seen = []
+    acc = ConfusionAccumulator(num_classes=5)
+    for images, labels, names in loader:
+        preds = (labels.astype(np.int64) * 3 + 1) % 5  # deterministic fake model
+        acc.update(jnp.asarray(labels.astype(np.int32)),
+                   jnp.asarray(preds.astype(np.int32)))
+        seen.extend(names)
+    cm = acc.global_matrix()
+
+    # ---- train path: global batch assembled from per-process shards ------
+    dst = SyntheticDataset(n=8, hw=(33, 33), num_classes=5, seed=11)
+    per = 4 // nproc
+    local = [dst[i] for i in range(pid * per, (pid + 1) * per)]  # contiguous
+    images = np.stack([s[0] for s in local])
+    labels = np.stack([s[1] for s in local])
+
+    mesh = make_mesh(jax.devices(), space=2)
+    model = CCNet(num_classes=5, layers=(1, 1, 1, 1), recurrence=2, impl="jnp")
+    tx = make_optimizer(base_lr=1e-2, max_steps=100)
+    criterion = build_criterion(ohem=False)
+    state = create_train_state(model, tx, input_shape=(1, 33, 33, 3),
+                               rng=jax.random.PRNGKey(0))
+    step = make_train_step(model, criterion, tx, mesh=mesh)
+    im, lb = shard_batch(mesh, jnp.asarray(images), jnp.asarray(labels))
+    state, metrics = step(state, im, lb, jax.random.PRNGKey(7))
+    loss = float(metrics["loss"])
+
+    with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
+        json.dump({"pid": pid, "seen": sorted(seen), "cm": np.asarray(cm).tolist(),
+                   "loss": loss, "n_local_devices": len(jax.local_devices()),
+                   "n_global_devices": len(jax.devices())}, f)
+
+
+if __name__ == "__main__":
+    main()
