@@ -81,3 +81,24 @@ def test_loss_decreases_over_steps():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_spatially_sharded_forward_matches_single_device():
+    """Whole-image eval with image HEIGHT over the `space` axis (SURVEY §5.7:
+    XLA partitions the convs with halo exchange and all-gathers the
+    criss-cross row/column attention) must equal the unsharded forward."""
+    from ccnet_tpu.parallel import spatial_sharding
+
+    model = tiny_model()
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 96, 3)), train=False)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 64, 96, 3).astype(np.float32))
+
+    want = np.asarray(model.apply(variables, x, train=False)["main"])
+
+    mesh = make_mesh(space=2)  # 4×2 (data × space)
+    sh = spatial_sharding(mesh)
+    fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False)["main"],
+                  in_shardings=(None, sh))
+    got = np.asarray(fwd(variables, jax.device_put(x, sh)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
