@@ -9,6 +9,7 @@ from ccnet_tpu.data.cityscapes import (
     trainid_lut,
     trainid_to_labelid,
 )
+from ccnet_tpu.data.lists import generate_cityscapes_lists, generate_voc_lists
 from ccnet_tpu.data.voc import VOCDataset
 from ccnet_tpu.data.loader import AugmentingDataset, DataLoader, SyntheticDataset
 from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
@@ -18,6 +19,8 @@ __all__ = [
     "device_augment_batch",
     "host_augment",
     "CITYSCAPES_ID_TO_TRAINID",
+    "generate_cityscapes_lists",
+    "generate_voc_lists",
     "CityscapesDataset",
     "trainid_lut",
     "trainid_to_labelid",
