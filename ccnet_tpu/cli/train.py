@@ -38,7 +38,8 @@ def get_parser():
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--learning-rate", type=float, default=1e-2)
     p.add_argument("--momentum", type=float, default=0.9)
-    p.add_argument("--weight-decay", type=float, default=5e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-4,
+                   help="published table recipe (README); run_local.sh used 5e-4")
     p.add_argument("--power", type=float, default=0.9)
     p.add_argument("--num-steps", type=int, default=60000)
     p.add_argument("--start-iters", type=int, default=0)
@@ -50,6 +51,11 @@ def get_parser():
     p.add_argument("--snapshot-dir", type=str, default="snapshots")
     p.add_argument("--restore-from", type=str, default=None,
                    help=".pth weights for init (ImageNet or CCNet)")
+    p.add_argument("--not-restore-last", action="store_true",
+                   help="skip classifier layers when restoring (fine-tune "
+                        "to a different class count, reference train.py:80-81)")
+    p.add_argument("--random-scale", type=str2bool, default=True)
+    p.add_argument("--random-mirror", type=str2bool, default=True)
     p.add_argument("--resume", type=str2bool, default=False,
                    help="resume full train state from snapshot-dir")
     p.add_argument("--random-seed", type=int, default=304)
@@ -83,6 +89,8 @@ def main(argv=None):
         ohem=args.ohem, ohem_thres=args.ohem_thres, ohem_keep=args.ohem_keep,
         ignore_label=args.ignore_label, save_every=args.save_pred_every,
         snapshot_dir=args.snapshot_dir, restore_from=args.restore_from,
+        restore_last=not args.not_restore_last,
+        random_scale=args.random_scale, random_mirror=args.random_mirror,
         resume=args.resume, start_step=args.start_iters, seed=args.random_seed,
         bf16=not args.fp32, remat=not args.no_remat, export_pth=args.export_pth,
         augment_backend=args.augment_backend,
@@ -101,6 +109,7 @@ def main(argv=None):
         raw = VOCDataset(args.data_dir, args.data_list)
         dataset = AugmentingDataset(
             raw, crop_hw=(h, w), mean=VOC_MEAN, ignore_label=args.ignore_label,
+            scale=args.random_scale, mirror=args.random_mirror,
             scale_min=VOC_SCALE_MIN, scale_steps=VOC_SCALE_STEPS,
             seed=args.random_seed,
         )

@@ -82,6 +82,8 @@ def device_augment(
     scale_min: float = SCALE_MIN,
     scale_steps: int = SCALE_STEPS,
     sampler: str = "gather",  # 'gather' | 'matmul' (MXU resample)
+    scale: bool = True,   # reference --random-scale (train.py:92-95)
+    mirror: bool = True,  # reference --random-mirror
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sample's scale+pad+crop+mirror, fully jittable. Returns
     (crop_h, crop_w, 3) f32 mean-subtracted image and (crop_h, crop_w) label."""
@@ -89,7 +91,10 @@ def device_augment(
     ch, cw = crop_hw
     k_scale, k_oy, k_ox, k_flip = jax.random.split(key, 4)
 
-    f = scale_min + SCALE_STEP * jax.random.randint(k_scale, (), 0, scale_steps)
+    if scale:
+        f = scale_min + SCALE_STEP * jax.random.randint(k_scale, (), 0, scale_steps)
+    else:
+        f = jnp.float32(1.0)
     sH = jnp.round(H0 * f).astype(jnp.int32)
     sW = jnp.round(W0 * f).astype(jnp.int32)
 
@@ -124,26 +129,28 @@ def device_augment(
     lbl = label[ny][:, nx]
     lbl = jnp.where(valid[..., 0], lbl, ignore_label)
 
-    flip = jax.random.bernoulli(k_flip)
-    img = jnp.where(flip, img[:, ::-1], img)
-    lbl = jnp.where(flip, lbl[:, ::-1], lbl)
+    if mirror:
+        flip = jax.random.bernoulli(k_flip)
+        img = jnp.where(flip, img[:, ::-1], img)
+        lbl = jnp.where(flip, lbl[:, ::-1], lbl)
     return img, lbl
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("crop_hw", "mean", "ignore_label", "scale_min", "scale_steps",
-                     "sampler"),
+                     "sampler", "scale", "mirror"),
 )
 def device_augment_batch(images, labels, key, crop_hw=(769, 769),
                          mean=CITYSCAPES_MEAN_BGR, ignore_label=255,
                          scale_min=SCALE_MIN, scale_steps=SCALE_STEPS,
-                         sampler="gather"):
+                         sampler="gather", scale=True, mirror=True):
     """vmap'd augmentation: (B, H0, W0, 3) raw + (B, H0, W0) labels → crops."""
     keys = jax.random.split(key, images.shape[0])
     fn = functools.partial(
         device_augment, crop_hw=crop_hw, mean=tuple(mean), ignore_label=ignore_label,
         scale_min=scale_min, scale_steps=scale_steps, sampler=sampler,
+        scale=scale, mirror=mirror,
     )
     return jax.vmap(fn)(images, labels, keys)
 

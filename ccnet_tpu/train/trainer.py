@@ -46,7 +46,9 @@ class TrainConfig:
     batch_size: int = 8
     learning_rate: float = 1e-2
     momentum: float = 0.9
-    weight_decay: float = 5e-4
+    # the published 79.7-mIoU table recipe (reference README.md:97) uses
+    # wd 1e-4; the repo's run_local.sh used 5e-4 — pass it explicitly for that
+    weight_decay: float = 1e-4
     power: float = 0.9
     num_steps: int = 60000
     ohem: bool = False
@@ -56,6 +58,7 @@ class TrainConfig:
     save_every: int = 10000
     snapshot_dir: str = "snapshots"
     restore_from: Optional[str] = None  # .pth weights (pretrained init)
+    restore_last: bool = True  # False = skip classifier layers (fine-tune)
     resume: bool = False  # resume full state from snapshot_dir
     start_step: int = 0
     seed: int = 0
@@ -69,6 +72,8 @@ class TrainConfig:
     # 'device': jitted gather-sampler on TPU; 'native': C++/OpenMP host
     # kernel (ccnet_tpu/native); 'precropped': loader already yields crops
     augment_backend: str = "device"
+    random_scale: bool = True   # reference --random-scale (train.py:92-95)
+    random_mirror: bool = True  # reference --random-mirror
     scale_min: float = 0.7
     scale_steps: int = 15
     tensorboard: bool = False
@@ -119,7 +124,10 @@ class Trainer:
             self.logger.info(f"resumed full state at step {self.start_step}")
         elif c.restore_from:
             variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-            variables, _, _ = load_pth(c.restore_from, variables)
+            variables, _, _ = load_pth(
+                c.restore_from, variables,
+                skip_mismatch=not c.restore_last, restore_last=c.restore_last,
+            )
             self.state = self.state.replace(
                 params=variables["params"], batch_stats=variables["batch_stats"]
             )
@@ -152,6 +160,7 @@ class Trainer:
                 crop_hw=tuple(c.input_size), mean=tuple(c.mean),
                 ignore_label=c.ignore_label,
                 scale_min=c.scale_min, scale_steps=c.scale_steps,
+                scale=c.random_scale, mirror=c.random_mirror,
             )
         elif c.augment_backend == "native":
             from ccnet_tpu import native
@@ -162,7 +171,9 @@ class Trainer:
             B = images.shape[0]
             scales, offs, flips = native.draw_augment_params(
                 rng, B, images.shape[1:3], tuple(c.input_size),
-                scale_min=c.scale_min, scale_steps=c.scale_steps,
+                scale_min=c.scale_min if c.random_scale else 1.0,
+                scale_steps=c.scale_steps if c.random_scale else 1,
+                mirror=c.random_mirror,
             )
             lut = np.arange(256, dtype=np.uint8)  # labels arrive trainId-mapped
             imgs_np, lbls_np = native.augment_batch(

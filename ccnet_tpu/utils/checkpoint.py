@@ -133,15 +133,32 @@ def _normalise_torch_keys(state_dict) -> Dict[str, np.ndarray]:
     return out
 
 
-def torch_state_dict_to_variables(state_dict, template_variables, strict: bool = False):
+# torch names of the final per-class classifier convs (RCCA head + DSN aux,
+# PSP/ASPP top classifier) — the layers the reference's --not-restore-last
+# skips when fine-tuning to a different class count (train.py:80-81)
+_CLASSIFIER_KEYS = ("head.bottleneck.3", "dsn.3", "head.1")
+
+
+def torch_state_dict_to_variables(state_dict, template_variables, strict: bool = False,
+                                  skip_mismatch: bool = False,
+                                  restore_last: bool = True):
     """Fill a flax variables template from a torch state_dict.
 
     Returns (variables, missing_keys, unexpected_keys). Missing entries keep
     the template's values (reference ``load_model`` strict=False semantics).
+
+    ``restore_last=False`` drops the final classifier layers before loading
+    (the reference's ``--not-restore-last`` fine-tune path, train.py:80-81);
+    ``skip_mismatch`` turns shape mismatches into skipped keys instead of
+    errors (e.g. a 19-class checkpoint into a 21-class model).
     """
     sd = _normalise_torch_keys(state_dict)
+    if not restore_last:
+        sd = {k: v for k, v in sd.items()
+              if not any(k.startswith(c + ".") for c in _CLASSIFIER_KEYS)}
     used = set()
     missing = []
+    mismatched = []
 
     def walk(tree, prefix):
         out = {}
@@ -155,6 +172,11 @@ def torch_state_dict_to_variables(state_dict, template_variables, strict: bool =
                     if k == "weight" and np.ndim(v) == 4:  # OIHW -> HWIO
                         arr = arr.transpose(2, 3, 1, 0)
                     if arr.shape != tuple(np.shape(v)):
+                        if skip_mismatch:
+                            mismatched.append(key)
+                            missing.append(key)
+                            out[k] = v
+                            continue
                         raise ValueError(
                             f"shape mismatch for {key}: ckpt {arr.shape} vs model {np.shape(v)}"
                         )
@@ -169,6 +191,8 @@ def torch_state_dict_to_variables(state_dict, template_variables, strict: bool =
     if "batch_stats" in template_variables:
         new_vars["batch_stats"] = walk(template_variables["batch_stats"], ())
     unexpected = sorted(set(sd) - used)
+    if mismatched:
+        logger.warning(f"{len(mismatched)} keys skipped on shape mismatch: {mismatched[:5]}")
     if missing:
         logger.warning(f"{len(missing)} keys missing from checkpoint, e.g. {missing[:5]}")
     if unexpected:
@@ -188,12 +212,15 @@ def save_pth(variables, path: str):
     torch.save(sd, path)
 
 
-def load_pth(path: str, template_variables, strict: bool = False):
+def load_pth(path: str, template_variables, strict: bool = False,
+             skip_mismatch: bool = False, restore_last: bool = True):
     """Load a reference/ImageNet ``.pth`` into a flax variables template."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=False)
-    return torch_state_dict_to_variables(sd, template_variables, strict=strict)
+    return torch_state_dict_to_variables(sd, template_variables, strict=strict,
+                                         skip_mismatch=skip_mismatch,
+                                         restore_last=restore_last)
 
 
 # -------------------------------------------------------- native (orbax) ---
