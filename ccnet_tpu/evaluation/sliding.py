@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ccnet_tpu.ops.resize import resize_bilinear_align_corners, resize_bilinear_cv2
+from ccnet_tpu.ops.resize import resize_bilinear_align_corners
 
 
 def compute_tiles(image_hw: Tuple[int, int], tile_hw: Tuple[int, int],
@@ -76,6 +76,9 @@ def predict_sliding(
     outs = []
     n = tiles.shape[0]
     step = max(tiles_per_call, B)
+    if mesh is not None:  # chunks must divide evenly over the mesh devices
+        n_mesh = int(np.prod(list(mesh.shape.values())))
+        step = -(-step // n_mesh) * n_mesh
     for s in range(0, n, step):
         chunk = tiles[s:s + step]
         if chunk.shape[0] < step:  # pad to keep one compiled shape
@@ -132,13 +135,21 @@ def predict_multiscale(
         lambda fn, im, nc: predict_sliding(fn, im, tile_hw, nc, overlap, mesh=mesh)
     )
     for s in scales:
-        sh, sw = int(H * float(s)), int(W * float(s))
-        scaled = resize_bilinear_cv2(image, (sh, sw)) if (sh, sw) != (H, W) else image
+        # scipy.ndimage.zoom(order=1) semantics (reference evaluate.py:166):
+        # out size = round(in·scale), align-corners coordinate mapping
+        # (verified: zoom's src grid is i·(in−1)/(out−1))
+        sh, sw = int(round(H * float(s))), int(round(W * float(s)))
+        scaled = (resize_bilinear_align_corners(image, (sh, sw))
+                  if (sh, sw) != (H, W) else image)
         probs = predict(apply_fn, scaled, num_classes)
         if flip:
             probs_f = predict(apply_fn, scaled[:, :, ::-1, :], num_classes)
             probs = 0.5 * (probs + probs_f[:, :, ::-1, :])
         if (sh, sw) != (H, W):
-            probs = resize_bilinear_cv2(probs, (H, W))
+            # the reference's scale≠1 accumulate is bit-rotted (shape mismatch,
+            # never exercised — main() runs scales=[1.0]); resizing the scaled
+            # probabilities back with the same align-corners convention is the
+            # intended behaviour
+            probs = resize_bilinear_align_corners(probs, (H, W))
         acc = acc + probs
     return acc / len(scales)

@@ -141,3 +141,46 @@ def test_sliding_with_mesh_matches_single_device():
     mesh = make_mesh()
     meshed = jax.jit(lambda im: predict_sliding(apply_fn, im, (32, 32), 5, mesh=mesh))(img)
     np.testing.assert_allclose(np.asarray(meshed), np.asarray(plain), atol=1e-5)
+
+
+def test_multiscale_image_scaling_matches_ndimage_zoom():
+    """The per-scale input resize must reproduce scipy.ndimage.zoom(order=1)
+    — the reference's convention (evaluate.py:166): out = round(in·s),
+    align-corners mapping. s=0.75 on H=50 distinguishes round (38) from
+    truncation (37)."""
+    ndimage = pytest.importorskip("scipy.ndimage")
+    from ccnet_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.RandomState(4)
+    img = rng.randn(1, 50, 70, 3).astype(np.float32)
+
+    def identity(x):  # per-pixel identity net, OS=1, C=3
+        return x
+
+    got = np.asarray(predict_multiscale(
+        identity, jnp.asarray(img), (32, 32), 3, scales=(0.75,), whole=True))
+
+    zoomed = ndimage.zoom(img, (1, 0.75, 0.75, 1), order=1, prefilter=False)
+    # round-half-even, same as python round(): 37.5 -> 38, 52.5 -> 52
+    assert zoomed.shape[1:3] == (38, 52)
+    want = np.asarray(resize_bilinear_align_corners(jnp.asarray(zoomed), (50, 70)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sliding_with_mesh_handles_non_dividing_tile_count():
+    """Chunks are rounded up to a multiple of the mesh size, so any
+    tiles_per_call works on any mesh (the last chunk zero-pads)."""
+    from ccnet_tpu.parallel import make_mesh
+
+    rng = np.random.RandomState(5)
+    Wt = jnp.asarray(rng.randn(3, 5).astype(np.float32))
+
+    def apply_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)
+
+    img = jnp.asarray(rng.randn(1, 50, 70, 3).astype(np.float32))
+    plain = jax.jit(lambda im: predict_sliding(apply_fn, im, (32, 32), 5))(img)
+    mesh = make_mesh()  # 8 devices
+    meshed = jax.jit(lambda im: predict_sliding(
+        apply_fn, im, (32, 32), 5, tiles_per_call=3, mesh=mesh))(img)
+    np.testing.assert_allclose(np.asarray(meshed), np.asarray(plain), atol=1e-5)
