@@ -61,7 +61,12 @@ def get_parser():
     p.add_argument("--random-seed", type=int, default=304)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--fp32", type=str2bool, default=False)
-    p.add_argument("--no-remat", type=str2bool, default=False)
+    p.add_argument(
+        "--remat", type=str, default="none",
+        choices=["none", "blocks", "conv12", "convs"],
+        help="activation remat: none (fastest, fits bs-8 769² on 16 GB), "
+             "blocks (remat layers 3-4), conv12/convs (policy: pin conv outs)",
+    )
     p.add_argument("--export-pth", type=str2bool, default=True)
     p.add_argument("--augment-backend", type=str, default="device",
                    choices=["device", "native", "precropped"])
@@ -92,7 +97,9 @@ def main(argv=None):
         restore_last=not args.not_restore_last,
         random_scale=args.random_scale, random_mirror=args.random_mirror,
         resume=args.resume, start_step=args.start_iters, seed=args.random_seed,
-        bf16=not args.fp32, remat=not args.no_remat, export_pth=args.export_pth,
+        bf16=not args.fp32,
+        remat={"none": False, "blocks": True}.get(args.remat, args.remat),
+        export_pth=args.export_pth,
         augment_backend=args.augment_backend,
         tensorboard=args.tensorboard,
         profile_steps=(tuple(int(x) for x in args.profile_steps.split(","))

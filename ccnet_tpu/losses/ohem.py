@@ -22,21 +22,31 @@ import jax.numpy as jnp
 from ccnet_tpu.losses.cross_entropy import softmax_cross_entropy_ignore
 
 
-def kth_smallest_bisect(x: jnp.ndarray, k: int, iters: int = 50) -> jnp.ndarray:
+def kth_smallest_bisect(x: jnp.ndarray, k: int, iters: int = 25) -> jnp.ndarray:
     """k-th smallest of flat ``x`` values in [0, 1] via count-bisection.
 
     A full ``jnp.sort`` of the ~4.7M-pixel probability map costs ~84 ms/step
-    on a v5e; fifty comparison+sum passes converge the threshold below f32
-    resolution (interval width 2⁻⁵⁰) in ~1 ms. Values > 1 (e.g. +inf padding
+    on a v5e. Quaternary bisection instead: each pass tests THREE interior
+    thresholds with one read of ``x`` (XLA multi-output-fuses the three
+    comparison+sum reductions into a single loop), narrowing the interval 4×
+    per pass — 25 passes reach width 4⁻²⁵ = 2⁻⁵⁰, below f32 resolution, at
+    half the HBM traffic of 50 binary passes. Values > 1 (e.g. +inf padding
     for invalid pixels) sort after everything and never win.
     """
 
     def body(_, lohi):
         lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(x <= mid)
-        hit = cnt >= k
-        return (jnp.where(hit, lo, mid), jnp.where(hit, mid, hi))
+        d = hi - lo
+        m1 = lo + 0.25 * d
+        m2 = lo + 0.5 * d
+        m3 = lo + 0.75 * d
+        c1 = jnp.sum(x <= m1)
+        c2 = jnp.sum(x <= m2)
+        c3 = jnp.sum(x <= m3)
+        # smallest quarter [q_lo, q_hi] whose upper edge still has >= k values
+        new_lo = jnp.where(c1 >= k, lo, jnp.where(c2 >= k, m1, jnp.where(c3 >= k, m2, m3)))
+        new_hi = jnp.where(c1 >= k, m1, jnp.where(c2 >= k, m2, jnp.where(c3 >= k, m3, hi)))
+        return new_lo, new_hi
 
     lo, hi = jax.lax.fori_loop(
         0, iters, body, (jnp.float32(0.0), jnp.float32(1.0))

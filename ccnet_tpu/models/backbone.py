@@ -20,8 +20,10 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ccnet_tpu.nn.layers import ABN, Conv
 from ccnet_tpu.ops.pooling import max_pool_ceil
@@ -45,13 +47,19 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         d = self.dilation * self.multi_grid
         out = Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        # named so a remat policy can pin the conv results (the FLOPs) in HBM
+        # while still rematerialising the cheap BN/ReLU elementwise chain;
+        # conv1/conv2 results are 4× smaller than conv3's, hence two names
+        out = checkpoint_name(out, "conv12_out")
         out = relu(ABN(self.planes, "identity", dtype=self.dtype, name="bn1")(out, train))
         out = Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride), padding=d,
             dilation=d, use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
+        out = checkpoint_name(out, "conv12_out")
         out = relu(ABN(self.planes, "identity", dtype=self.dtype, name="bn2")(out, train))
         out = Conv(self.planes * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(out)
+        out = checkpoint_name(out, "conv3_out")
         out = ABN(self.planes * 4, "identity", dtype=self.dtype, name="bn3")(out, train)
 
         residual = x
@@ -74,11 +82,17 @@ class DilatedResNet(nn.Module):
     769² × batch-8 training on a 16 GB chip. ``True`` remats the tuned
     default (layers 3–4 — they hold ~80% of saved activations; measured 2–6%
     faster than remat-everything); a tuple of layer indices remats exactly
-    those; ``False`` disables.
+    those; ``False`` disables. The string modes use a remat *policy* on
+    layers 3–4 that keeps named conv results resident and rematerialises only
+    the cheap BN/ReLU elementwise chain — the backward pass then skips the
+    conv recompute (the FLOPs) at a modest activation-memory cost:
+    ``"conv12"`` pins the 1×1-reduce and 3×3 conv results (¾ of the recompute
+    FLOPs, ¼ of the full no-remat memory); ``"convs"`` additionally pins the
+    4×-wider conv3 results (no conv recompute at all).
     """
 
     layers: Sequence[int] = (3, 4, 23, 3)  # ResNet-101
-    remat: Any = False  # False | True (= layers 3,4) | tuple of layer indices
+    remat: Any = False  # False | True (= layers 3,4) | 'conv12' | 'convs' | tuple
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,13 +115,22 @@ class DilatedResNet(nn.Module):
         ]
         inplanes = 128
         feats = {}
+        policy = None
         if self.remat is True:
             remat_layers = {3, 4}
         elif not self.remat:
             remat_layers = set()
+        elif self.remat == "conv12":
+            remat_layers = {3, 4}
+            policy = jax.checkpoint_policies.save_only_these_names("conv12_out")
+        elif self.remat == "convs":
+            remat_layers = {3, 4}
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "conv12_out", "conv3_out"
+            )
         else:
             remat_layers = set(self.remat)
-        remat_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        remat_cls = nn.remat(Bottleneck, static_argnums=(2,), policy=policy)
         for li, ((planes, stride, dilation, grids), blocks) in enumerate(zip(specs, self.layers), start=1):
             block_cls = remat_cls if li in remat_layers else Bottleneck
             for bi in range(blocks):

@@ -116,7 +116,7 @@ class CCNet(nn.Module):
 
     num_classes: int = 19
     layers: tuple = (3, 4, 23, 3)
-    remat: bool = False
+    remat: Any = False  # see DilatedResNet.remat
     recurrence: int = 2
     impl: str = "auto"
     dtype: Any = jnp.float32

@@ -56,7 +56,7 @@ class DeepLabV3(nn.Module):
 
     num_classes: int = 19
     layers: tuple = (3, 4, 23, 3)
-    remat: bool = False
+    remat: Any = False  # see DilatedResNet.remat
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -24,7 +24,7 @@ def build_model(
     depth: int = 101,
     dtype: Any = jnp.float32,
     impl: str = "auto",
-    remat: bool = False,
+    remat: Any = False,
 ):
     """Build a segmentation model by name: 'ccnet' | 'pspnet' | 'deeplabv3'."""
     layers = _DEPTH_LAYERS[depth]

@@ -71,3 +71,35 @@ def test_registry_resnet101_param_count():
     variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, train=False))
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables["params"]))
     assert 68e6 < n_params < 74e6, n_params
+
+
+@pytest.mark.parametrize("mode", [True, "conv12", "convs"])
+def test_remat_modes_match_no_remat_gradients(mode):
+    """Every remat mode is a pure scheduling choice: loss AND gradients must
+    be bit-comparable to the no-remat forward/backward."""
+    from ccnet_tpu.losses import softmax_cross_entropy_ignore
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 33, 33, 3).astype(np.float32))
+    # CE directly on the OS-8 logits (33 -> 5): the upsampling criterion is
+    # orthogonal to what this test pins down (remat == pure scheduling)
+    y = jnp.asarray(rng.randint(0, 7, size=(1, 5, 5)).astype(np.int32))
+
+    def loss_for(model, params, batch_stats):
+        def f(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"],
+            )
+            return softmax_cross_entropy_ignore(out["main"], y)
+        return jax.value_and_grad(f)(params)
+
+    base = tiny(CCNet, impl="jnp", remat=False)
+    variables = base.init(jax.random.PRNGKey(0), x, train=False)
+    want_loss, want_grad = loss_for(base, variables["params"], variables["batch_stats"])
+
+    model = tiny(CCNet, impl="jnp", remat=mode)
+    got_loss, got_grad = loss_for(model, variables["params"], variables["batch_stats"])
+    assert abs(float(got_loss) - float(want_loss)) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(want_grad), jax.tree_util.tree_leaves(got_grad)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
