@@ -93,8 +93,39 @@ def ohem_cross_entropy(
     thresh: float = 0.7,
     min_kept: int = 100000,
 ) -> jnp.ndarray:
-    """OHEM-masked mean CE (scalar f32)."""
-    keep = ohem_mask(logits, labels, ignore_label, thresh, min_kept)
-    return softmax_cross_entropy_ignore(
-        logits, labels, ignore_label, weights=keep.astype(jnp.float32)
-    )
+    """OHEM-masked mean CE (scalar f32).
+
+    Selection and loss share ONE ``log_softmax`` over the (full-resolution,
+    f32) logits: the correct-class probability the reference thresholds on
+    (``loss/loss.py:38-41``) is recovered as ``exp(−nll)`` instead of running
+    a second softmax pass — at 8×769²×19 that second pass is ~0.7 GB of HBM
+    traffic per step. Equal to the two-pass form up to one f32 rounding of
+    ``exp``; selection semantics are unchanged (see :func:`ohem_mask`, which
+    stays the reference two-pass formulation for oracle tests).
+    """
+    logits = logits.astype(jnp.float32)
+    valid = labels != ignore_label
+    safe = jnp.where(valid, labels, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
+
+    # selection is not differentiated (reference computes it on numpy copies)
+    p_correct = jnp.exp(-jax.lax.stop_gradient(nll))
+    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
+    num_valid = jnp.sum(valid)
+    n = flat.shape[0]
+    k = min(min_kept, n)
+    if k <= 0:
+        threshold = jnp.float32(thresh)
+    else:
+        kth = kth_smallest_bisect(flat, k)
+        threshold = jnp.where(
+            num_valid <= min_kept,
+            jnp.float32(1.0),  # keep all valid pixels
+            jnp.maximum(jnp.float32(thresh), kth),
+        )
+    mask = (valid & (p_correct <= threshold)).astype(jnp.float32)
+    total = jnp.sum(nll * mask)
+    count = jnp.sum(mask)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
