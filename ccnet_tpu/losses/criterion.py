@@ -6,6 +6,11 @@ align_corners=True before the pixel loss (reference ``loss/criterion.py:26``).
 
 The criterion is a pure function of (model outputs, labels) — it does NOT
 live inside the model like the reference's (``networks/ccnet.py:188-189``).
+
+On TPU the upsample+CE chain runs through the fused Pallas kernel
+(:mod:`ccnet_tpu.ops.upsampled_ce`): the (B, H, W, C) upsampled tensor never
+touches HBM in either pass. Off-TPU (and for non-integer ratios) the same
+math runs as plain jnp.
 """
 
 from __future__ import annotations
@@ -18,8 +23,13 @@ import jax.numpy as jnp
 
 from ccnet_tpu.losses.cross_entropy import softmax_cross_entropy_ignore
 from ccnet_tpu.losses.lovasz import lovasz_softmax
-from ccnet_tpu.losses.ohem import ohem_cross_entropy
+from ccnet_tpu.losses.ohem import ohem_cross_entropy, ohem_threshold
 from ccnet_tpu.ops.resize import resize_bilinear_align_corners
+from ccnet_tpu.ops.upsampled_ce import (
+    integer_upsample_ratio,
+    upsampled_nll,
+    upsampled_nll_reference,
+)
 
 
 def _upsample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -28,10 +38,29 @@ def _upsample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _nll(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W) f32 per-pixel NLL of the upsampled logits."""
+    h, w = logits.shape[1], logits.shape[2]
+    H, W = labels.shape[1], labels.shape[2]
+    rh = integer_upsample_ratio(h, H)
+    if (rh is not None and rh == integer_upsample_ratio(w, W)
+            and jax.default_backend() == "tpu"):
+        return upsampled_nll(logits.astype(jnp.float32), labels)
+    return upsampled_nll_reference(logits, labels)
+
+
+def _masked_mean(nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    mask = mask.astype(jnp.float32)
+    total = jnp.sum(nll * mask)
+    count = jnp.sum(mask)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
 def criterion_dsn(outputs: Dict[str, jnp.ndarray], labels: jnp.ndarray, ignore_label: int = 255) -> jnp.ndarray:
     """CE(main) + 0.4·CE(aux)."""
-    loss1 = softmax_cross_entropy_ignore(_upsample(outputs["main"], labels), labels, ignore_label)
-    loss2 = softmax_cross_entropy_ignore(_upsample(outputs["aux"], labels), labels, ignore_label)
+    valid = labels != ignore_label
+    loss1 = _masked_mean(_nll(outputs["main"], labels), valid)
+    loss2 = _masked_mean(_nll(outputs["aux"], labels), valid)
     return loss1 + 0.4 * loss2
 
 
@@ -42,9 +71,28 @@ def criterion_ohem_dsn(
     thresh: float = 0.7,
     min_kept: int = 100000,
 ) -> jnp.ndarray:
-    """OHEM-CE(main) + 0.4·CE(aux)."""
-    loss1 = ohem_cross_entropy(_upsample(outputs["main"], labels), labels, ignore_label, thresh, min_kept)
-    loss2 = softmax_cross_entropy_ignore(_upsample(outputs["aux"], labels), labels, ignore_label)
+    """OHEM-CE(main) + 0.4·CE(aux).
+
+    Selection semantics of the reference (``loss/loss.py:20-78``) on the
+    fused NLL: correct-class probability = exp(−nll), keep pixels with
+    p ≤ max(thresh, p_k), k = min_kept (all valid pixels if fewer than
+    min_kept are valid).
+    """
+    valid = labels != ignore_label
+    nll_main = _nll(outputs["main"], labels)
+
+    p_correct = jnp.exp(-jax.lax.stop_gradient(nll_main))
+    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
+    num_valid = jnp.sum(valid)
+    k = min(min_kept, flat.shape[0])
+    if k <= 0:
+        threshold = jnp.float32(thresh)
+    else:
+        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
+    keep = valid & (p_correct <= threshold)
+
+    loss1 = _masked_mean(nll_main, keep)
+    loss2 = _masked_mean(_nll(outputs["aux"], labels), valid)
     return loss1 + 0.4 * loss2
 
 
@@ -53,7 +101,11 @@ def criterion_ohem_dsn2(
     labels: jnp.ndarray,
     ignore_label: int = 255,
 ) -> jnp.ndarray:
-    """CE(main) + Lovász-softmax(main)."""
+    """CE(main) + Lovász-softmax(main).
+
+    Lovász needs the full-resolution softmax tensor anyway, so this variant
+    keeps the materialised upsample path.
+    """
     up = _upsample(outputs["main"], labels)
     loss1 = softmax_cross_entropy_ignore(up, labels, ignore_label)
     loss2 = lovasz_softmax(jax.nn.softmax(up, axis=-1), labels, ignore_label)

@@ -16,13 +16,16 @@ resolution, via one on-device sort — no host sync, same selection rule.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from ccnet_tpu.losses.cross_entropy import softmax_cross_entropy_ignore
 
 
-def kth_smallest_bisect(x: jnp.ndarray, k: int, iters: int = 25) -> jnp.ndarray:
+def kth_smallest_bisect(x: jnp.ndarray, k: int, iters: int = 25,
+                        lo: float = 0.0, hi: float = 1.0) -> jnp.ndarray:
     """k-th smallest of flat ``x`` values in [0, 1] via count-bisection.
 
     A full ``jnp.sort`` of the ~4.7M-pixel probability map costs ~84 ms/step
@@ -49,9 +52,38 @@ def kth_smallest_bisect(x: jnp.ndarray, k: int, iters: int = 25) -> jnp.ndarray:
         return new_lo, new_hi
 
     lo, hi = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(0.0), jnp.float32(1.0))
+        0, iters, body, (jnp.float32(lo), jnp.float32(hi))
     )
     return hi
+
+
+def ohem_threshold(flat: jnp.ndarray, k: int, thresh: float,
+                   num_valid: jnp.ndarray, min_kept: int) -> jnp.ndarray:
+    """The reference's OHEM keep-threshold ``max(thresh, p_k)``, exactly.
+
+    The k-th statistic only matters when it EXCEEDS ``thresh`` (otherwise the
+    max collapses to ``thresh``), so one counting pass decides which case
+    holds and the bisection brackets ``(thresh, 1]`` only — and it can stop as
+    soon as the bracket is narrower than one f32 ulp at ``thresh`` (then at
+    most one representable value lies inside, so ``p <= hi`` and ``p <= p_k``
+    select identical pixel sets). For thresh 0.7 that is 12 quaternary passes
+    instead of 25.
+    """
+    t = jnp.float32(thresh)
+    if thresh <= 0.0:
+        kth = kth_smallest_bisect(flat, k)
+    else:
+        c_t = jnp.sum(flat <= t)
+        width = 1.0 - thresh
+        ulp = 2.0 ** (math.floor(math.log2(thresh)) - 23)
+        iters = max(1, min(25, math.ceil(math.log(max(width, 1e-9) / ulp, 4)) + 1))
+        kth = kth_smallest_bisect(flat, k, iters=iters, lo=thresh, hi=1.0)
+        kth = jnp.where(c_t >= k, t, kth)
+    return jnp.where(
+        num_valid <= min_kept,
+        jnp.float32(1.0),  # keep all valid pixels
+        jnp.maximum(t, kth),
+    )
 
 
 def ohem_mask(
@@ -77,12 +109,7 @@ def ohem_mask(
     if k <= 0:
         threshold = jnp.float32(thresh)
     else:
-        kth = kth_smallest_bisect(flat, k)
-        threshold = jnp.where(
-            num_valid <= min_kept,
-            jnp.float32(1.0),  # keep all valid pixels
-            jnp.maximum(jnp.float32(thresh), kth),
-        )
+        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
     return valid & (p_correct <= threshold)
 
 
@@ -119,12 +146,7 @@ def ohem_cross_entropy(
     if k <= 0:
         threshold = jnp.float32(thresh)
     else:
-        kth = kth_smallest_bisect(flat, k)
-        threshold = jnp.where(
-            num_valid <= min_kept,
-            jnp.float32(1.0),  # keep all valid pixels
-            jnp.maximum(jnp.float32(thresh), kth),
-        )
+        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
     mask = (valid & (p_correct <= threshold)).astype(jnp.float32)
     total = jnp.sum(nll * mask)
     count = jnp.sum(mask)

@@ -1,0 +1,275 @@
+"""Fused bilinear-upsample + cross-entropy NLL — Pallas TPU kernel.
+
+The reference computes its training loss as CE over OS-8 logits bilinearly
+upsampled (align_corners=True) to label resolution (``loss/criterion.py:26``).
+Done literally, that materialises the (B, 769, 769, 19) f32 upsampled tensor
+and its softmax residuals — ~2.4 GB of HLO temps at batch 12 (the XLA OOM
+dump lists them as the largest allocations) and ~19 ms/step on a v5e, ~200×
+off the memory-bandwidth bound: the *information content* is just the coarse
+(B, 97, 97, 19) logits (5.7 MB) and the labels.
+
+This kernel never materialises the upsampled tensor. Per (batch, row-band)
+grid step it holds the whole coarse image in VMEM (~1.2 MB), reconstructs
+each fine row on the fly — the width upsample is ONE small matmul with a
+constant interpolation matrix ``M`` (w, W); the height upsample is a 2-row
+lerp — and emits the per-pixel NLL
+
+    nll[y, x] = logsumexp_c(u[y, x, :]) − u[y, x, label[y, x]]
+
+The backward pass (custom VJP) recomputes ``u`` the same way and accumulates
+
+    dL = Σ_{y,x} g[y, x] · upsampleᵀ(softmax(u) − onehot(label))
+
+into the coarse-logits gradient with the transposed matmul, so neither pass
+ever writes an (H, W, C) tensor to HBM.
+
+Works for any integer align-corners ratio r with H == (h−1)·r + 1 (the OS-8
+training geometry: 97→769, 65→513, 41→321). The pure-jnp reference
+(:func:`upsampled_nll_reference`) defines the semantics and serves as the
+oracle; ``interpret=True`` runs the kernel on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interp_params(interpret):
+    """TPU-semantics interpreter (supports program_id etc.) when requested."""
+    return pltpu.InterpretParams() if interpret else False
+
+from ccnet_tpu.ops.resize import resize_bilinear_align_corners
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def integer_upsample_ratio(in_size: int, out_size: int):
+    """r with out == (in−1)·r + 1, or None."""
+    if in_size > 1 and out_size > in_size and (out_size - 1) % (in_size - 1) == 0:
+        return (out_size - 1) // (in_size - 1)
+    return None
+
+
+def _interp_matrix(w: int, W: int, r: int) -> np.ndarray:
+    """(w, W) align-corners weights: u[:, x] = Σ_x0 M[x0, x] · L[:, x0]."""
+    M = np.zeros((w, W), np.float32)
+    for x in range(W):
+        lo, frac = divmod(x, r)
+        if lo >= w - 1:
+            M[w - 1, x] += 1.0
+        else:
+            f = frac / r
+            M[lo, x] += 1.0 - f
+            M[lo + 1, x] += f
+    return M
+
+
+def upsampled_nll_reference(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Pure-jnp semantics: per-pixel NLL of upsampled logits (f32)."""
+    u = resize_bilinear_align_corners(
+        logits.astype(jnp.float32), (labels.shape[1], labels.shape[2])
+    )
+    logp = jax.nn.log_softmax(u, axis=-1)
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), u.shape[-1], dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
+
+
+# ------------------------------------------------------------------ kernels ---
+
+
+def _row_band(Lt, M, seg, r, h):
+    """Width-upsampled coarse rows (k, k+1) for segment ``seg``: (2, C, W)."""
+    k0 = jnp.minimum(seg, h - 1)
+    k1 = jnp.minimum(seg + 1, h - 1)
+    r0 = Lt[0, pl.ds(k0, 1), :, :][0]  # (C, w)
+    r1 = Lt[0, pl.ds(k1, 1), :, :][0]
+    R0 = jax.lax.dot_general(r0, M, (((1,), (0,)), ((), ())),
+                             precision=_HIGH, preferred_element_type=jnp.float32)
+    R1 = jax.lax.dot_general(r1, M, (((1,), (0,)), ((), ())),
+                             precision=_HIGH, preferred_element_type=jnp.float32)
+    return R0, R1
+
+
+def _fwd_kernel(Lt_ref, M_ref, lab_ref, out_ref, *, r: int, h: int, segs: int, C: int):
+    M = M_ref[...]
+
+    def seg_body(s, _):
+        seg = pl.program_id(1) * segs + s
+        R0, R1 = _row_band(Lt_ref, M, seg, r, h)
+
+        def row_body(j, _):
+            wy = j.astype(jnp.float32) / r
+            u = R0 * (1.0 - wy) + R1 * wy  # (C, W) f32
+            m = jnp.max(u, axis=0)
+            lse = m + jnp.log(jnp.sum(jnp.exp(u - m[None, :]), axis=0))
+            row = s * r + j
+            lab = lab_ref[0, pl.ds(row, 1), :][0]  # (W,) i32
+            sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) == lab[None, :]
+            ulab = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
+            out_ref[0, pl.ds(row, 1), :] = (lse - ulab)[None, :]
+            return 0
+
+        jax.lax.fori_loop(0, r, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, segs, seg_body, 0)
+
+
+def _bwd_kernel(Lt_ref, M_ref, lab_ref, g_ref, dL_ref, *, r: int, h: int, segs: int, C: int):
+    M = M_ref[...]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dL_ref[...] = jnp.zeros_like(dL_ref)
+
+    def seg_body(s, _):
+        seg = pl.program_id(1) * segs + s
+        R0, R1 = _row_band(Lt_ref, M, seg, r, h)
+
+        def row_body(j, accs):
+            acc0, acc1 = accs
+            wy = j.astype(jnp.float32) / r
+            u = R0 * (1.0 - wy) + R1 * wy
+            m = jnp.max(u, axis=0)
+            lse = m + jnp.log(jnp.sum(jnp.exp(u - m[None, :]), axis=0))
+            p = jnp.exp(u - lse[None, :])  # softmax (C, W)
+            row = s * r + j
+            lab = lab_ref[0, pl.ds(row, 1), :][0]
+            g = g_ref[0, pl.ds(row, 1), :][0]  # (W,) f32
+            sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) == lab[None, :]
+            dU = (p - jnp.where(sel, 1.0, 0.0)) * g[None, :]  # (C, W)
+            dc = jax.lax.dot_general(dU, M, (((1,), (1,)), ((), ())),
+                                     precision=_HIGH,
+                                     preferred_element_type=jnp.float32)  # (C, w)
+            return acc0 + (1.0 - wy) * dc, acc1 + wy * dc
+
+        zero = jnp.zeros(dL_ref.shape[2:], jnp.float32)  # (C, w)
+        acc0, acc1 = jax.lax.fori_loop(0, r, row_body, (zero, zero))
+
+        k0 = jnp.minimum(seg, h - 1)
+        k1 = jnp.minimum(seg + 1, h - 1)
+        # wy == 0 on the clamped final row, so acc1 is zero there and the
+        # k1 == k0 double-visit adds nothing
+        dL_ref[0, pl.ds(k0, 1), :, :] = dL_ref[0, pl.ds(k0, 1), :, :] + acc0[None]
+        dL_ref[0, pl.ds(k1, 1), :, :] = dL_ref[0, pl.ds(k1, 1), :, :] + acc1[None]
+        return 0
+
+    jax.lax.fori_loop(0, segs, seg_body, 0)
+
+
+# ------------------------------------------------------------------- driver ---
+
+
+def _prep(logits, labels):
+    B, h, w, C = logits.shape
+    _, H, W = labels.shape
+    r = integer_upsample_ratio(h, H)
+    assert r is not None and r == integer_upsample_ratio(w, W), (
+        f"upsampled_nll requires an integer align-corners ratio, got "
+        f"{(h, w)} -> {(H, W)}"
+    )
+    segs = max(1, 64 // r)  # ~64 fine rows per grid step
+    n_seg_total = -(-H // r)
+    steps = -(-n_seg_total // segs)
+    Hp = steps * segs * r
+    Lt = jnp.transpose(logits.astype(jnp.float32), (0, 1, 3, 2))  # (B, h, C, w)
+    M = jnp.asarray(_interp_matrix(w, W, r))
+    labp = labels.astype(jnp.int32)
+    if Hp != H:
+        labp = jnp.pad(labp, ((0, 0), (0, Hp - H), (0, 0)))
+    return Lt, M, labp, r, segs, steps, Hp
+
+
+def _fwd_impl(logits, labels, interpret):
+    B, h, w, C = logits.shape
+    _, H, W = labels.shape
+    Lt, M, labp, r, segs, steps, Hp = _prep(logits, labels)
+    TH = segs * r
+    nll = pl.pallas_call(
+        functools.partial(_fwd_kernel, r=r, h=h, segs=segs, C=C),
+        grid=(B, steps),
+        in_specs=[
+            pl.BlockSpec((1, h, C, w), lambda b, k: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda b, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, W), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=_interp_params(interpret),
+    )(Lt, M, labp)
+    return nll[:, :H, :]
+
+
+def _bwd_impl(logits, labels, g, interpret):
+    B, h, w, C = logits.shape
+    _, H, W = labels.shape
+    Lt, M, labp, r, segs, steps, Hp = _prep(logits, labels)
+    TH = segs * r
+    gp = g.astype(jnp.float32)
+    if Hp != H:
+        gp = jnp.pad(gp, ((0, 0), (0, Hp - H), (0, 0)))  # zero grad on pad rows
+    dLt = pl.pallas_call(
+        functools.partial(_bwd_kernel, r=r, h=h, segs=segs, C=C),
+        grid=(B, steps),
+        in_specs=[
+            pl.BlockSpec((1, h, C, w), lambda b, k: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, W), lambda b, k: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, W), lambda b, k: (b, k, 0), memory_space=pltpu.VMEM),
+        ],
+        # block index constant along the row-band dim -> the accumulator
+        # stays resident in VMEM across that dim's (sequential) steps
+        out_specs=pl.BlockSpec((1, h, C, w), lambda b, k: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, h, C, w), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=_interp_params(interpret),
+    )(Lt, M, labp, gp)
+    return jnp.transpose(dLt, (0, 1, 3, 2)).astype(logits.dtype)  # (B, h, w, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def upsampled_nll(logits: jnp.ndarray, labels: jnp.ndarray,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """Per-pixel NLL of align-corners-upsampled logits, fused on TPU.
+
+    Args:
+      logits: (B, h, w, C) float.
+      labels: (B, H, W) int with H = (h−1)·r+1, W = (w−1)·r+1. Out-of-range
+        entries (e.g. ignore 255 ≥ C) simply select no channel — mask the
+        returned nll accordingly.
+      interpret: run the kernel in interpreter mode (defaults to True off-TPU).
+    Returns:
+      (B, H, W) f32 nll; differentiable wrt logits.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fwd_impl(logits, labels, interpret)
+
+
+def _vjp_fwd(logits, labels, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _fwd_impl(logits, labels, interpret), (logits, labels)
+
+
+def _vjp_bwd(interpret, res, g):
+    logits, labels = res
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dlogits = _bwd_impl(logits, labels, g, interpret)
+    return dlogits, np.zeros(labels.shape, jax.dtypes.float0)
+
+
+upsampled_nll.defvjp(_vjp_fwd, _vjp_bwd)
