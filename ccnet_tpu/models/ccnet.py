@@ -22,11 +22,12 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ccnet_tpu.models.backbone import DilatedResNet
-from ccnet_tpu.nn.layers import ABN, Conv
+from ccnet_tpu.nn.layers import ABN, Conv, torch_conv_init
 from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
 
 
@@ -47,10 +48,22 @@ class CrissCrossAttention(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            # fused Pallas kernel on TPU, jnp reference elsewhere
             import jax
 
-            impl = "pallas" if jax.default_backend() not in ("cpu",) else "jnp"
+            if jax.default_backend() == "cpu":
+                impl = "jnp"
+            else:
+                # Pick by the materialised-affinity footprint. At crop-scale
+                # shapes (8×97×97 → ~29 MB affinity) XLA's batched-matmul
+                # lowering of the jnp path beats the fused kernel (measured
+                # fwd+bwd 5.5 ms vs 8.4 ms on v5e — the kernel's grid/DMA
+                # overheads dominate at small H+W). The Pallas kernel is the
+                # long-context path: once the affinity tensor and its
+                # softmax/backward temps stop fitting comfortably in HBM,
+                # keeping the chain in VMEM wins.
+                b, hh, ww = q.shape[0], q.shape[1], q.shape[2]
+                aff_bytes = b * hh * ww * (hh + ww) * q.dtype.itemsize
+                impl = "pallas" if aff_bytes > 256 * 1024 * 1024 else "jnp"
             if impl == "pallas":
                 try:
                     import ccnet_tpu.ops.cc_attention_pallas  # noqa: F401
@@ -63,6 +76,37 @@ class CrissCrossAttention(nn.Module):
         else:
             out = cca_jnp(q, k, v)
         return gamma.astype(x.dtype) * out + x
+
+
+class _ConcatConv(nn.Module):
+    """3×3 conv over the channel-concat of two inputs, without the concat.
+
+    ``conv(cat([a, b]), W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])``
+    exactly — splitting skips materialising the (B, H, W, Ca+Cb) tensor
+    (385 MB at the bench shape; the concat fusion alone profiled at ~10 ms/
+    step, ~10× off the HBM bound). The parameter keeps the reference's
+    single fused shape/name (``head.bottleneck.0.weight``,
+    reference ``networks/ccnet.py:109-111``) so ``.pth`` conversion is
+    unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = self.param(
+            "weight", torch_conv_init, (3, 3, ca + cb, self.features), jnp.float32
+        )
+
+        def conv(x, k):
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        return conv(a, kernel[:, :, :ca]) + conv(b, kernel[:, :, ca:])
 
 
 class RCCAModule(nn.Module):
@@ -87,8 +131,7 @@ class RCCAModule(nn.Module):
         out = Conv(inter, (3, 3), padding=1, use_bias=False, dtype=dt, name="convb_conv")(out)
         out = ABN(inter, "leaky_relu", dtype=dt, name="convb_bn")(out, train)
 
-        out = jnp.concatenate([x, out], axis=-1)
-        out = Conv(self.out_channels, (3, 3), padding=1, use_bias=False, dtype=dt, name="bottleneck_conv")(out)
+        out = _ConcatConv(self.out_channels, dtype=dt, name="bottleneck_conv")(x, out)
         out = ABN(self.out_channels, "leaky_relu", dtype=dt, name="bottleneck_bn")(out, train)
         out = nn.Dropout(0.1, deterministic=not train)(out)
         out = Conv(self.num_classes, (1, 1), use_bias=True, dtype=dt, name="classifier")(out)

@@ -99,24 +99,20 @@ def _row_band(Lt, M, seg, r, h):
 
 def _fwd_kernel(Lt_ref, M_ref, lab_ref, out_ref, *, r: int, h: int, segs: int, C: int):
     M = M_ref[...]
+    # all r fine rows of a segment at once: wy (r, 1, 1) broadcasts the 2-row
+    # lerp to a (r, C, W) slab, one VPU pass per segment instead of r
+    wy = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0).astype(jnp.float32) / r
 
     def seg_body(s, _):
         seg = pl.program_id(1) * segs + s
         R0, R1 = _row_band(Lt_ref, M, seg, r, h)
-
-        def row_body(j, _):
-            wy = j.astype(jnp.float32) / r
-            u = R0 * (1.0 - wy) + R1 * wy  # (C, W) f32
-            m = jnp.max(u, axis=0)
-            lse = m + jnp.log(jnp.sum(jnp.exp(u - m[None, :]), axis=0))
-            row = s * r + j
-            lab = lab_ref[0, pl.ds(row, 1), :][0]  # (W,) i32
-            sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) == lab[None, :]
-            ulab = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-            out_ref[0, pl.ds(row, 1), :] = (lse - ulab)[None, :]
-            return 0
-
-        jax.lax.fori_loop(0, r, row_body, 0)
+        u = R0[None] * (1.0 - wy) + R1[None] * wy  # (r, C, W) f32
+        m = jnp.max(u, axis=1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(u - m[:, None, :]), axis=1))  # (r, W)
+        lab = lab_ref[0, pl.ds(s * r, r), :]  # (r, W) i32
+        sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1) == lab[:, None, :]
+        ulab = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        out_ref[0, pl.ds(s * r, r), :] = lse - ulab
         return 0
 
     jax.lax.fori_loop(0, segs, seg_body, 0)
@@ -129,29 +125,26 @@ def _bwd_kernel(Lt_ref, M_ref, lab_ref, g_ref, dL_ref, *, r: int, h: int, segs: 
     def _init():
         dL_ref[...] = jnp.zeros_like(dL_ref)
 
+    wy = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0).astype(jnp.float32) / r
+
     def seg_body(s, _):
         seg = pl.program_id(1) * segs + s
         R0, R1 = _row_band(Lt_ref, M, seg, r, h)
-
-        def row_body(j, accs):
-            acc0, acc1 = accs
-            wy = j.astype(jnp.float32) / r
-            u = R0 * (1.0 - wy) + R1 * wy
-            m = jnp.max(u, axis=0)
-            lse = m + jnp.log(jnp.sum(jnp.exp(u - m[None, :]), axis=0))
-            p = jnp.exp(u - lse[None, :])  # softmax (C, W)
-            row = s * r + j
-            lab = lab_ref[0, pl.ds(row, 1), :][0]
-            g = g_ref[0, pl.ds(row, 1), :][0]  # (W,) f32
-            sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0) == lab[None, :]
-            dU = (p - jnp.where(sel, 1.0, 0.0)) * g[None, :]  # (C, W)
-            dc = jax.lax.dot_general(dU, M, (((1,), (1,)), ((), ())),
-                                     precision=_HIGH,
-                                     preferred_element_type=jnp.float32)  # (C, w)
-            return acc0 + (1.0 - wy) * dc, acc1 + wy * dc
-
-        zero = jnp.zeros(dL_ref.shape[2:], jnp.float32)  # (C, w)
-        acc0, acc1 = jax.lax.fori_loop(0, r, row_body, (zero, zero))
+        u = R0[None] * (1.0 - wy) + R1[None] * wy  # (r, C, W) f32
+        m = jnp.max(u, axis=1)
+        lse = m + jnp.log(jnp.sum(jnp.exp(u - m[:, None, :]), axis=1))
+        p = jnp.exp(u - lse[:, None, :])  # softmax (r, C, W)
+        lab = lab_ref[0, pl.ds(s * r, r), :]  # (r, W)
+        g = g_ref[0, pl.ds(s * r, r), :]  # (r, W) f32
+        sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1) == lab[:, None, :]
+        dU = (p - jnp.where(sel, 1.0, 0.0)) * g[:, None, :]  # (r, C, W)
+        # ONE (r·C, W) × (W, w) matmul per segment instead of r small ones
+        dc = jax.lax.dot_general(
+            dU.reshape(r * C, -1), M, (((1,), (1,)), ((), ())),
+            precision=_HIGH, preferred_element_type=jnp.float32,
+        ).reshape(r, C, -1)  # (r, C, w)
+        acc0 = jnp.sum(dc * (1.0 - wy), axis=0)  # (C, w)
+        acc1 = jnp.sum(dc * wy, axis=0)
 
         k0 = jnp.minimum(seg, h - 1)
         k1 = jnp.minimum(seg + 1, h - 1)
