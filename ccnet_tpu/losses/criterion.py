@@ -21,9 +21,9 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
-from ccnet_tpu.losses.cross_entropy import softmax_cross_entropy_ignore
+from ccnet_tpu.losses.cross_entropy import masked_mean, softmax_cross_entropy_ignore
 from ccnet_tpu.losses.lovasz import lovasz_softmax
-from ccnet_tpu.losses.ohem import ohem_cross_entropy, ohem_threshold
+from ccnet_tpu.losses.ohem import ohem_keep_mask
 from ccnet_tpu.ops.resize import resize_bilinear_align_corners
 from ccnet_tpu.ops.upsampled_ce import (
     integer_upsample_ratio,
@@ -39,28 +39,30 @@ def _upsample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def _nll(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W) f32 per-pixel NLL of the upsampled logits."""
+    """(B, H, W) f32 per-pixel NLL of the upsampled logits.
+
+    The fused kernel runs only single-device: ``pallas_call`` has no SPMD
+    partitioning rule, so under a batch-sharded multi-chip jit it would force
+    an all-gather of the global batch. There the per-chip batch is small and
+    the materialised jnp path is both partitionable and cheap (XLA shards it
+    with the data); fusing matters exactly where the whole batch sits on one
+    chip.
+    """
     h, w = logits.shape[1], logits.shape[2]
     H, W = labels.shape[1], labels.shape[2]
     rh = integer_upsample_ratio(h, H)
     if (rh is not None and rh == integer_upsample_ratio(w, W)
-            and jax.default_backend() == "tpu"):
+            and jax.default_backend() == "tpu"
+            and jax.device_count() == 1):
         return upsampled_nll(logits.astype(jnp.float32), labels)
     return upsampled_nll_reference(logits, labels)
-
-
-def _masked_mean(nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    mask = mask.astype(jnp.float32)
-    total = jnp.sum(nll * mask)
-    count = jnp.sum(mask)
-    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
 
 
 def criterion_dsn(outputs: Dict[str, jnp.ndarray], labels: jnp.ndarray, ignore_label: int = 255) -> jnp.ndarray:
     """CE(main) + 0.4·CE(aux)."""
     valid = labels != ignore_label
-    loss1 = _masked_mean(_nll(outputs["main"], labels), valid)
-    loss2 = _masked_mean(_nll(outputs["aux"], labels), valid)
+    loss1 = masked_mean(_nll(outputs["main"], labels), valid)
+    loss2 = masked_mean(_nll(outputs["aux"], labels), valid)
     return loss1 + 0.4 * loss2
 
 
@@ -82,17 +84,10 @@ def criterion_ohem_dsn(
     nll_main = _nll(outputs["main"], labels)
 
     p_correct = jnp.exp(-jax.lax.stop_gradient(nll_main))
-    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
-    num_valid = jnp.sum(valid)
-    k = min(min_kept, flat.shape[0])
-    if k <= 0:
-        threshold = jnp.float32(thresh)
-    else:
-        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
-    keep = valid & (p_correct <= threshold)
+    keep = ohem_keep_mask(p_correct, valid, thresh, min_kept)
 
-    loss1 = _masked_mean(nll_main, keep)
-    loss2 = _masked_mean(_nll(outputs["aux"], labels), valid)
+    loss1 = masked_mean(nll_main, keep)
+    loss2 = masked_mean(_nll(outputs["aux"], labels), valid)
     return loss1 + 0.4 * loss2
 
 

@@ -11,6 +11,17 @@ import jax
 import jax.numpy as jnp
 
 
+def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of ``values`` over ``mask`` (0 if nothing is selected).
+
+    The one masked-mean convention every loss in the package shares.
+    """
+    mask = mask.astype(jnp.float32)
+    total = jnp.sum(values * mask)
+    count = jnp.sum(mask)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
 def softmax_cross_entropy_ignore(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -36,6 +47,4 @@ def softmax_cross_entropy_ignore(
     mask = valid.astype(jnp.float32)
     if weights is not None:
         mask = mask * weights.astype(jnp.float32)
-    total = jnp.sum(nll * mask)
-    count = jnp.sum(mask)
-    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    return masked_mean(nll, mask)

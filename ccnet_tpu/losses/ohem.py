@@ -11,7 +11,8 @@ TPU-native deviation (deliberate, SURVEY §7c): the reference computed the
 threshold on a 1/8-``scipy.ndimage.zoom``-ed CPU copy with ``min_kept/64``
 (a host-sync speed hack costing a device→CPU round trip *every step*,
 reference ``loss/loss.py:52-76``). Here the k-th statistic is exact, at full
-resolution, via one on-device sort — no host sync, same selection rule.
+resolution, via on-device count-bisection (:func:`kth_smallest_bisect`) — no
+host sync, no sort, same selection rule.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ccnet_tpu.losses.cross_entropy import softmax_cross_entropy_ignore
+from ccnet_tpu.losses.cross_entropy import masked_mean
 
 
 def kth_smallest_bisect(x: jnp.ndarray, k: int, iters: int = 25,
@@ -66,8 +67,8 @@ def ohem_threshold(flat: jnp.ndarray, k: int, thresh: float,
     holds and the bisection brackets ``(thresh, 1]`` only — and it can stop as
     soon as the bracket is narrower than one f32 ulp at ``thresh`` (then at
     most one representable value lies inside, so ``p <= hi`` and ``p <= p_k``
-    select identical pixel sets). For thresh 0.7 that is 12 quaternary passes
-    instead of 25.
+    select identical pixel sets). For thresh 0.7 that is 13 quaternary passes
+    (⌈log₄(0.3 / 2⁻²⁴)⌉ + 1 rounding margin) instead of 25.
     """
     t = jnp.float32(thresh)
     if thresh <= 0.0:
@@ -86,6 +87,29 @@ def ohem_threshold(flat: jnp.ndarray, k: int, thresh: float,
     )
 
 
+def ohem_keep_mask(
+    p_correct: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float,
+    min_kept: int,
+) -> jnp.ndarray:
+    """The reference's selection rule on precomputed correct-class probs.
+
+    Keep valid pixels with ``p ≤ max(thresh, p_k)``, k = min_kept (all valid
+    pixels if fewer than min_kept are valid). The ONE implementation of the
+    selection tail, shared by :func:`ohem_mask`, :func:`ohem_cross_entropy`
+    and the fused criterion.
+    """
+    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
+    num_valid = jnp.sum(valid)
+    k = min(min_kept, flat.shape[0])
+    if k <= 0:
+        threshold = jnp.float32(thresh)
+    else:
+        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
+    return valid & (p_correct <= threshold)
+
+
 def ohem_mask(
     logits: jnp.ndarray,
     labels: jnp.ndarray,
@@ -101,16 +125,7 @@ def ohem_mask(
     probs = jax.nn.softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(safe, logits.shape[-1], dtype=probs.dtype)
     p_correct = jnp.sum(probs * onehot, axis=-1)
-
-    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
-    num_valid = jnp.sum(valid)
-    n = flat.shape[0]
-    k = min(min_kept, n)
-    if k <= 0:
-        threshold = jnp.float32(thresh)
-    else:
-        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
-    return valid & (p_correct <= threshold)
+    return ohem_keep_mask(p_correct, valid, thresh, min_kept)
 
 
 def ohem_cross_entropy(
@@ -139,15 +154,4 @@ def ohem_cross_entropy(
 
     # selection is not differentiated (reference computes it on numpy copies)
     p_correct = jnp.exp(-jax.lax.stop_gradient(nll))
-    flat = jnp.where(valid, p_correct, jnp.inf).ravel()
-    num_valid = jnp.sum(valid)
-    n = flat.shape[0]
-    k = min(min_kept, n)
-    if k <= 0:
-        threshold = jnp.float32(thresh)
-    else:
-        threshold = ohem_threshold(flat, k, thresh, num_valid, min_kept)
-    mask = (valid & (p_correct <= threshold)).astype(jnp.float32)
-    total = jnp.sum(nll * mask)
-    count = jnp.sum(mask)
-    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    return masked_mean(nll, ohem_keep_mask(p_correct, valid, thresh, min_kept))

@@ -48,19 +48,22 @@ class CrissCrossAttention(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            import jax
-
-            if jax.default_backend() == "cpu":
+            if jax.default_backend() == "cpu" or jax.device_count() > 1:
+                # CPU: the jnp path is the reference. Multi-device: pallas_call
+                # has no SPMD partitioning rule, while the jnp einsum path is
+                # natively partitionable by GSPMD (batch- or height-sharded) —
+                # the TPU-first answer under a mesh is to let XLA shard the
+                # matmuls, not to force a replicated kernel.
                 impl = "jnp"
             else:
-                # Pick by the materialised-affinity footprint. At crop-scale
-                # shapes (8×97×97 → ~29 MB affinity) XLA's batched-matmul
-                # lowering of the jnp path beats the fused kernel (measured
-                # fwd+bwd 5.5 ms vs 8.4 ms on v5e — the kernel's grid/DMA
-                # overheads dominate at small H+W). The Pallas kernel is the
-                # long-context path: once the affinity tensor and its
-                # softmax/backward temps stop fitting comfortably in HBM,
-                # keeping the chain in VMEM wins.
+                # Single device: pick by the materialised-affinity footprint.
+                # At crop-scale shapes (8×97×97 → ~29 MB affinity) XLA's
+                # batched-matmul lowering of the jnp path beats the fused
+                # kernel (measured fwd+bwd 5.5 ms vs 8.4 ms on v5e — the
+                # kernel's grid/DMA overheads dominate at small H+W). The
+                # Pallas kernel is the long-context path: once the affinity
+                # tensor and its softmax/backward temps stop fitting
+                # comfortably in HBM, keeping the chain in VMEM wins.
                 b, hh, ww = q.shape[0], q.shape[1], q.shape[2]
                 aff_bytes = b * hh * ww * (hh + ww) * q.dtype.itemsize
                 impl = "pallas" if aff_bytes > 256 * 1024 * 1024 else "jnp"

@@ -112,7 +112,10 @@ def _fwd_kernel(Lt_ref, M_ref, lab_ref, out_ref, *, r: int, h: int, segs: int, C
         lab = lab_ref[0, pl.ds(s * r, r), :]  # (r, W) i32
         sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1) == lab[:, None, :]
         ulab = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
-        out_ref[0, pl.ds(s * r, r), :] = lse - ulab
+        # out-of-range labels (ignore, e.g. 255): nll = 0, like the
+        # reference's one_hot — backend-independent semantics
+        vmask = (lab >= 0) & (lab < C)
+        out_ref[0, pl.ds(s * r, r), :] = jnp.where(vmask, lse - ulab, 0.0)
         return 0
 
     jax.lax.fori_loop(0, segs, seg_body, 0)
@@ -137,7 +140,9 @@ def _bwd_kernel(Lt_ref, M_ref, lab_ref, g_ref, dL_ref, *, r: int, h: int, segs: 
         lab = lab_ref[0, pl.ds(s * r, r), :]  # (r, W)
         g = g_ref[0, pl.ds(s * r, r), :]  # (r, W) f32
         sel = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1) == lab[:, None, :]
-        dU = (p - jnp.where(sel, 1.0, 0.0)) * g[:, None, :]  # (r, C, W)
+        # out-of-range labels carry no gradient (reference: one_hot == 0)
+        vmask = ((lab >= 0) & (lab < C))[:, None, :]
+        dU = jnp.where(vmask, (p - jnp.where(sel, 1.0, 0.0)) * g[:, None, :], 0.0)
         # ONE (r·C, W) × (W, w) matmul per segment instead of r small ones
         dc = jax.lax.dot_general(
             dU.reshape(r * C, -1), M, (((1,), (1,)), ((), ())),
@@ -240,8 +245,8 @@ def upsampled_nll(logits: jnp.ndarray, labels: jnp.ndarray,
     Args:
       logits: (B, h, w, C) float.
       labels: (B, H, W) int with H = (h−1)·r+1, W = (w−1)·r+1. Out-of-range
-        entries (e.g. ignore 255 ≥ C) simply select no channel — mask the
-        returned nll accordingly.
+        entries (e.g. ignore 255 ≥ C) yield nll 0 with zero gradient, exactly
+        like the reference's one-hot formulation.
       interpret: run the kernel in interpreter mode (defaults to True off-TPU).
     Returns:
       (B, H, W) f32 nll; differentiable wrt logits.

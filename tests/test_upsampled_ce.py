@@ -58,8 +58,8 @@ def test_forward_matches_oracle(shape):
     logits, labels = _case(B, h, w, C, r, 0)
     ref = upsampled_nll_reference(logits, labels)
     got = upsampled_nll(logits, labels, True)
-    valid = labels != 255
-    err = jnp.max(jnp.abs(jnp.where(valid, ref - got, 0.0)))
+    # unmasked: ignore pixels (255) must yield nll 0 exactly like the oracle
+    err = jnp.max(jnp.abs(ref - got))
     assert float(err) < 1e-5
 
 
