@@ -155,11 +155,28 @@ class DataLoader:
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    # submit sample decodes across batch boundaries (up to
+                    # prefetch+2 batches ahead) so a straggler in batch b
+                    # doesn't idle the workers that could already decode b+1
+                    flat = list(order[:min(len(order), n_batches * self.batch_size)])
+                    ahead = (self.prefetch + 2) * self.batch_size
+                    futures: dict = {}
+                    submitted = 0
+                    pos = 0
                     for b in range(n_batches):
                         if stop.is_set():
                             return
-                        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                        samples = list(ex.map(self.dataset.__getitem__, idxs))
+                        while submitted < len(flat) and submitted < pos + ahead:
+                            futures[submitted] = ex.submit(
+                                self.dataset.__getitem__, flat[submitted]
+                            )
+                            submitted += 1
+                        # last batch may be short when drop_last is False
+                        count = min(self.batch_size, len(flat) - b * self.batch_size)
+                        samples = []
+                        for _ in range(count):
+                            samples.append(futures.pop(pos).result())
+                            pos += 1
                         images = np.stack([s[0] for s in samples])
                         labels = np.stack([s[1] for s in samples])
                         q.put((images, labels, [s[2] for s in samples]))

@@ -179,3 +179,34 @@ def test_matmul_sampler_matches_gather():
                                     sampler="matmul")
     np.testing.assert_allclose(np.asarray(a_i), np.asarray(b_i), atol=1e-3)
     np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
+
+
+def test_loader_pipelined_decode_stays_ordered():
+    """Cross-batch pipelined decode must still yield batches in permutation
+    order with sample content intact, even when items complete out of order
+    and the tail batch is short (drop_last=False)."""
+    import time
+
+    class JitteryDataset(SyntheticDataset):
+        def __getitem__(self, index):
+            time.sleep((index % 3) * 0.01)  # stragglers complete out of order
+            return super().__getitem__(index)
+
+    ds = JitteryDataset(n=10, hw=(8, 8))
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=5, num_workers=4,
+                    drop_last=False, prefetch=2)
+    dl.set_epoch(1)
+    got = list(dl)
+    assert [len(n) for _, _, n in got] == [4, 4, 2]  # short tail kept
+
+    order = np.random.RandomState(5 + 1).permutation(10)
+    expect = [ds.name(i) for i in order]
+    names = [n for _, _, nn in got for n in nn]
+    assert names == expect
+    # content matches the dataset sample for its name (decode not swapped)
+    for images, labels, nn in got:
+        for k, name in enumerate(nn):
+            idx = int(name.split("_")[1])
+            img, lbl, _ = SyntheticDataset(n=10, hw=(8, 8))[idx]
+            np.testing.assert_array_equal(images[k], img)
+            np.testing.assert_array_equal(labels[k], lbl)
