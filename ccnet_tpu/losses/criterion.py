@@ -41,19 +41,17 @@ def _upsample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 def _nll(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W) f32 per-pixel NLL of the upsampled logits.
 
-    The fused kernel runs only single-device: ``pallas_call`` has no SPMD
-    partitioning rule, so under a batch-sharded multi-chip jit it would force
-    an all-gather of the global batch. There the per-chip batch is small and
-    the materialised jnp path is both partitionable and cheap (XLA shards it
-    with the data); fusing matters exactly where the whole batch sits on one
-    chip.
+    On TPU this is the fused Pallas kernel; under a multi-device jit the
+    kernel carries a batch-dim ``custom_partitioning`` rule (it is
+    embarrassingly parallel over images), so batch-sharded training keeps
+    both the sharding and the fusion — no all-gather
+    (``tests/test_upsampled_ce.py::test_partitioned_*``).
     """
     h, w = logits.shape[1], logits.shape[2]
     H, W = labels.shape[1], labels.shape[2]
     rh = integer_upsample_ratio(h, H)
     if (rh is not None and rh == integer_upsample_ratio(w, W)
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1):
+            and jax.default_backend() == "tpu"):
         return upsampled_nll(logits.astype(jnp.float32), labels)
     return upsampled_nll_reference(logits, labels)
 

@@ -162,10 +162,103 @@ def _bwd_kernel(Lt_ref, M_ref, lab_ref, g_ref, dL_ref, *, r: int, h: int, segs: 
     jax.lax.fori_loop(0, segs, seg_body, 0)
 
 
+# ------------------------------------------------------------ partitioning ---
+#
+# pallas_call has no SPMD rule, so inside a multi-device jit the kernel would
+# force an all-gather of the global batch. The kernel is embarrassingly
+# parallel over images, so we register a custom partitioning that keeps the
+# batch-dim sharding (data-parallel training's layout) and replicates the
+# spatial/class dims; each shard then runs the kernel on its local batch.
+
+
+def _keep_batch_sharding(sharding, ndim):
+    """NamedSharding that keeps dim-0's axes and replicates the rest.
+
+    Arrays without a batch dim (the 2-D interpolation matrix) are fully
+    replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = getattr(sharding, "spec", None)
+    b = spec[0] if ndim >= 3 and spec is not None and len(spec) > 0 else None
+    return NamedSharding(sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1))))
+
+
+def _def_batch_partition(fn, rule, need_replication):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    wrapped = custom_partitioning(fn)
+
+    def propagate_user_sharding(mesh, user_shape):
+        return _keep_batch_sharding(user_shape.sharding, len(user_shape.shape))
+
+    def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
+        return _keep_batch_sharding(arg_shapes[0].sharding, len(result_shape.shape))
+
+    def partition(mesh, arg_shapes, result_shape):
+        arg_shardings = tuple(
+            _keep_batch_sharding(a.sharding, len(a.shape)) for a in arg_shapes
+        )
+        result_sharding = _keep_batch_sharding(
+            arg_shapes[0].sharding, len(result_shape.shape)
+        )
+        return mesh, fn, result_sharding, arg_shardings
+
+    wrapped.def_partition(
+        partition,
+        propagate_user_sharding=propagate_user_sharding,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        sharding_rule=rule,
+        need_replication_factors=need_replication,
+    )
+    return wrapped
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_fwd(interpret: bool):
+    # The interpolation matrix is an explicit operand: custom_partitioning
+    # forbids closure constants in the traced body. Under interpret (CPU
+    # tests) the per-shard body is the jnp oracle — the pallas interpreter's
+    # IO callbacks cannot lower inside a partitioned computation, and the two
+    # forms are semantically identical; what the mesh tests validate is the
+    # partitioning itself.
+    if interpret:
+        body = lambda logits, labels, M: upsampled_nll_reference(logits, labels)
+    else:
+        body = lambda logits, labels, M: _fwd_impl(logits, labels, False, M)
+    return _def_batch_partition(
+        body,
+        "b i j k, b m n, j n -> b m n",
+        ("i", "j", "k", "m", "n"),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_bwd(interpret: bool):
+    if interpret:
+        def body(logits, labels, g, M):
+            _, vjp = jax.vjp(lambda l: upsampled_nll_reference(l, labels), logits)
+            return vjp(g)[0]
+    else:
+        body = lambda logits, labels, g, M: _bwd_impl(logits, labels, g, False, M)
+    return _def_batch_partition(
+        body,
+        "b i j k, b m n, b m n, j n -> b i j k",
+        ("i", "j", "k", "m", "n"),
+    )
+
+
+def _interp_matrix_for(logits, labels):
+    w = logits.shape[2]
+    W = labels.shape[2]
+    r = integer_upsample_ratio(logits.shape[1], labels.shape[1])
+    return jnp.asarray(_interp_matrix(w, W, r))
+
+
 # ------------------------------------------------------------------- driver ---
 
 
-def _prep(logits, labels):
+def _prep(logits, labels, M=None):
     B, h, w, C = logits.shape
     _, H, W = labels.shape
     r = integer_upsample_ratio(h, H)
@@ -178,17 +271,18 @@ def _prep(logits, labels):
     steps = -(-n_seg_total // segs)
     Hp = steps * segs * r
     Lt = jnp.transpose(logits.astype(jnp.float32), (0, 1, 3, 2))  # (B, h, C, w)
-    M = jnp.asarray(_interp_matrix(w, W, r))
+    if M is None:
+        M = jnp.asarray(_interp_matrix(w, W, r))
     labp = labels.astype(jnp.int32)
     if Hp != H:
         labp = jnp.pad(labp, ((0, 0), (0, Hp - H), (0, 0)))
     return Lt, M, labp, r, segs, steps, Hp
 
 
-def _fwd_impl(logits, labels, interpret):
+def _fwd_impl(logits, labels, interpret, M=None):
     B, h, w, C = logits.shape
     _, H, W = labels.shape
-    Lt, M, labp, r, segs, steps, Hp = _prep(logits, labels)
+    Lt, M, labp, r, segs, steps, Hp = _prep(logits, labels, M)
     TH = segs * r
     nll = pl.pallas_call(
         functools.partial(_fwd_kernel, r=r, h=h, segs=segs, C=C),
@@ -208,10 +302,10 @@ def _fwd_impl(logits, labels, interpret):
     return nll[:, :H, :]
 
 
-def _bwd_impl(logits, labels, g, interpret):
+def _bwd_impl(logits, labels, g, interpret, M=None):
     B, h, w, C = logits.shape
     _, H, W = labels.shape
-    Lt, M, labp, r, segs, steps, Hp = _prep(logits, labels)
+    Lt, M, labp, r, segs, steps, Hp = _prep(logits, labels, M)
     TH = segs * r
     gp = g.astype(jnp.float32)
     if Hp != H:
@@ -253,20 +347,32 @@ def upsampled_nll(logits: jnp.ndarray, labels: jnp.ndarray,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if jax.device_count() > 1:
+        M = _interp_matrix_for(logits, labels)
+        return _partitioned_fwd(bool(interpret))(logits, labels, M)
     return _fwd_impl(logits, labels, interpret)
 
 
 def _vjp_fwd(logits, labels, interpret):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    return _fwd_impl(logits, labels, interpret), (logits, labels)
+    if jax.device_count() > 1:
+        M = _interp_matrix_for(logits, labels)
+        nll = _partitioned_fwd(bool(interpret))(logits, labels, M)
+    else:
+        nll = _fwd_impl(logits, labels, interpret)
+    return nll, (logits, labels)
 
 
 def _vjp_bwd(interpret, res, g):
     logits, labels = res
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    dlogits = _bwd_impl(logits, labels, g, interpret)
+    if jax.device_count() > 1:
+        M = _interp_matrix_for(logits, labels)
+        dlogits = _partitioned_bwd(bool(interpret))(logits, labels, g, M)
+    else:
+        dlogits = _bwd_impl(logits, labels, g, interpret)
     return dlogits, np.zeros(labels.shape, jax.dtypes.float0)
 
 

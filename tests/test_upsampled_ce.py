@@ -116,3 +116,50 @@ def test_criteria_match_materialised_path():
         float(oracle["ohem"]),
         rtol=1e-5,
     )
+
+
+def _data_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))
+
+
+def test_partitioned_forward_no_allgather_on_mesh():
+    """With >1 device, upsampled_nll routes through a batch-dim
+    custom_partitioning rule: output keeps the batch sharding and the
+    compiled program contains NO all-gather (each shard runs locally)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _data_mesh()
+    B, h, w, C, r = 8, 5, 7, 4, 3
+    logits, labels = _case(B, h, w, C, r, 3)
+    logits = jax.device_put(logits, NamedSharding(mesh, P("data", None, None, None)))
+    labels = jax.device_put(labels, NamedSharding(mesh, P("data", None, None)))
+
+    f = jax.jit(lambda l, lab: upsampled_nll(l, lab, True))
+    out = f(logits, labels)
+    ref = upsampled_nll_reference(logits, labels)
+    assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
+    assert out.sharding.spec[0] == "data"
+    hlo = f.lower(logits, labels).compile().as_text()
+    assert "all-gather" not in hlo
+
+
+def test_partitioned_backward_matches_oracle_on_mesh():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _data_mesh()
+    B, h, w, C, r = 8, 5, 5, 6, 4
+    logits, labels = _case(B, h, w, C, r, 4)
+    mask = (labels != 255).astype(jnp.float32)
+    logits_s = jax.device_put(logits, NamedSharding(mesh, P("data", None, None, None)))
+    labels_s = jax.device_put(labels, NamedSharding(mesh, P("data", None, None)))
+
+    g = jax.jit(jax.grad(
+        lambda l: jnp.sum(upsampled_nll(l, labels_s, True) * mask)
+    ))(logits_s)
+    gref = jax.grad(
+        lambda l: jnp.sum(upsampled_nll_reference(l, labels) * mask)
+    )(logits)
+    scale = float(jnp.max(jnp.abs(gref))) + 1e-12
+    assert float(jnp.max(jnp.abs(g - gref))) / scale < 1e-4
