@@ -64,7 +64,82 @@ def bench_train(jax, jnp, steps=10, batch=8, shape=(769, 769)):
         loss,
         model,
         {"params": state.params, "batch_stats": state.batch_stats},
+        step,
+        state,
     )
+
+
+def _ensure_corpus(root, n=64, hw=(1024, 2048)):
+    """Synthetic Cityscapes-layout PNG corpus for the end-to-end input-path
+    leg (decode cost comparable to real street scenes: smooth structure +
+    texture, ~1-3 MB/PNG, not incompressible noise)."""
+    import os
+
+    import cv2
+
+    img_dir = os.path.join(root, "leftImg8bit", "train", "bench")
+    lbl_dir = os.path.join(root, "gtFine", "train", "bench")
+    if os.path.isdir(img_dir) and len(os.listdir(img_dir)) >= n:
+        return
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    h, w = hw
+    yy = np.linspace(0, 4 * np.pi, h)[:, None]
+    xx = np.linspace(0, 4 * np.pi, w)[None, :]
+    for i in range(n):
+        rng = np.random.RandomState(i)
+        base = (np.sin(yy + i) * np.cos(xx * (1 + i % 3)) * 60 + 120)
+        img = np.stack([base + rng.randn(h, w) * 20 + c * 10 for c in range(3)], -1)
+        lab = np.zeros((h, w), np.uint8)
+        for _ in range(30):  # random labelId rectangles (0..33)
+            y0, x0 = rng.randint(0, h - 64), rng.randint(0, w - 64)
+            dy, dx = rng.randint(32, h // 3), rng.randint(32, w // 3)
+            lab[y0:y0 + dy, x0:x0 + dx] = rng.randint(0, 34)
+        cv2.imwrite(os.path.join(img_dir, f"bench_{i:04d}_leftImg8bit.png"),
+                    np.clip(img, 0, 255).astype(np.uint8))
+        cv2.imwrite(os.path.join(lbl_dir, f"bench_{i:04d}_gtFine_labelIds.png"), lab)
+
+
+def bench_train_e2e(jax, jnp, step, state, steps=30, batch=8, shape=(769, 769),
+                    corpus="/tmp/ccnet_bench_corpus"):
+    """END-TO-END training throughput: real PNG decode (cv2, thread pool) →
+    uint8 host→device transfer → on-device augmentation → the SAME compiled
+    train step as the resident-batch leg. This is the number with the whole
+    input path in the loop (the reference's 8-worker DataLoader,
+    reference train.py:112)."""
+    from ccnet_tpu.data import CachedDataset, CityscapesDataset, DataLoader
+    from ccnet_tpu.data.preprocess import device_augment_batch
+
+    _ensure_corpus(corpus)
+    n_batches = steps + 6
+    ds = CachedDataset(CityscapesDataset(
+        corpus, split="train", max_iters=n_batches * batch, raw_dtype="uint8"))
+    loader = DataLoader(ds, batch, shuffle=True, num_workers=8, prefetch=3)
+    key = jax.random.PRNGKey(3)
+
+    def run_one(i, images, labels, state):
+        imgs, lbls = device_augment_batch(
+            jnp.asarray(images), jnp.asarray(labels),
+            jax.random.fold_in(key, i), crop_hw=shape,
+        )
+        return step(state, imgs, lbls, key)
+
+    it = iter(loader)
+    for i in range(4):  # warmup: compiles augment, fills decode pipeline
+        images, labels, _ = next(it)
+        state, metrics = run_one(i, images, labels, state)
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    done = 0
+    for i, (images, labels, _) in enumerate(it):
+        state, metrics = run_one(i + 4, images, labels, state)
+        done += 1
+        if done >= steps:
+            break
+    loss = float(metrics["loss"])  # forces the chained device work
+    t1 = time.perf_counter()
+    assert np.isfinite(loss)
+    return batch * done / (t1 - t0)
 
 
 def bench_eval(jax, jnp, model, variables, n_imgs=4, image_hw=(1024, 2048), tile=(769, 769)):
@@ -99,12 +174,80 @@ def bench_eval(jax, jnp, model, variables, n_imgs=4, image_hw=(1024, 2048), tile
     return s_per_img, n_tiles / s_per_img, n_tiles
 
 
+def bench_eval_msflip(jax, jnp, model, variables, n_imgs=2, image_hw=(1024, 2048),
+                      tile=(769, 769)):
+    """Multi-scale (0.75, 1.0, 1.25) + flip sliding eval — the reference's
+    full `predict_multiscale` surface (evaluate.py:155-175) as ONE compiled
+    program per input shape."""
+    from functools import partial
+
+    from ccnet_tpu.evaluation.sliding import predict_multiscale
+
+    @partial(jax.jit, static_argnums=())
+    def eval_img(variables, img):
+        logits = predict_multiscale(
+            lambda x: model.apply(variables, x, train=False)["main"],
+            img, tile, 19, scales=(0.75, 1.0, 1.25), flip=True,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.randn(1, *image_hw, 3).astype(np.float32) * 30.0)
+    pred = eval_img(variables, img)  # compile + warmup
+    _ = int(pred[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n_imgs):
+        pred = eval_img(variables, img)
+    _ = int(pred[0, 0, 0])
+    return (time.perf_counter() - t0) / n_imgs
+
+
+def bench_cca_kernel(jax, jnp, B=1, H=513, W=513, cq=64, cv=512, iters=5):
+    """The fused Pallas CCA kernel at a long-context shape past the measured
+    jnp/kernel crossover (scripts/bench_cca.py): fwd+bwd wall time, plus the
+    jnp path's at the same shape when it still fits."""
+    from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
+    from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, W, cq).astype(np.float32)).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, W, cq).astype(np.float32)).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, H, W, cv).astype(np.float32)).astype(jnp.bfloat16)
+    g = jnp.asarray(rng.randn(B, H, W, cv).astype(np.float32)).astype(jnp.bfloat16)
+
+    out = {}
+    for name, impl in (
+        ("pallas", lambda q, k, v: criss_cross_attention_pallas(q, k, v, partitioned=False)),
+        ("jnp", cca_jnp),
+    ):
+        # g is an argument, not a closure capture (captured arrays become HLO
+        # constants serialized into the size-limited remote-compile request)
+        def loss(q, k, v, g, impl=impl):
+            return jnp.sum(impl(q, k, v).astype(jnp.float32) * g.astype(jnp.float32))
+
+        fb = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        try:
+            r = fb(q, k, v, g)
+            _ = float(r[0].astype(jnp.float32).sum())
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                r = fb(q, k, v, g)
+            _ = float(r[0].astype(jnp.float32).sum())
+            out[name] = round((time.perf_counter() - t0) / iters * 1e3, 2)
+        except Exception:  # noqa: BLE001 - jnp path OOMs at long-context shapes
+            out[name] = None
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    train_cps, step_s, loss, model, variables = bench_train(jax, jnp)
+    train_cps, step_s, loss, model, variables, step, state = bench_train(jax, jnp)
+    e2e_cps = bench_train_e2e(jax, jnp, step, state)
     eval_s_img, eval_tps, n_tiles = bench_eval(jax, jnp, model, variables)
+    msflip_s = bench_eval_msflip(jax, jnp, model, variables)
+    cca = bench_cca_kernel(jax, jnp)
 
     result = {
         "metric": "ccnet_r101_R2_train_769_crops_per_sec_per_chip",
@@ -116,6 +259,10 @@ def main():
             "loss": round(loss, 4),
             "backend": jax.default_backend(),
             "step_time_s": round(step_s, 4),
+            "train_e2e_crops_per_sec_per_chip": round(e2e_cps, 3),
+            "train_e2e_fraction_of_resident": round(e2e_cps / train_cps, 3),
+            "eval_msflip_1024x2048_s_per_img": round(msflip_s, 4),
+            "cca_fwdbwd_513x513_ms": cca,
             "baseline_titan_xp_train_crops_per_sec_per_chip": TITAN_XP_TRAIN_CROPS_PER_SEC_PER_CHIP,
             "eval_sliding_1024x2048_s_per_img": round(eval_s_img, 4),
             "eval_sliding_tiles_per_sec_per_chip": round(eval_tps, 2),

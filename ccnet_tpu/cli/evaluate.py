@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 from ccnet_tpu.data import CityscapesDataset, DataLoader, SyntheticDataset
 from ccnet_tpu.data.cityscapes import CITYSCAPES_CLASS_NAMES
+from ccnet_tpu.data.preprocess import CITYSCAPES_MEAN_BGR
+from ccnet_tpu.data.voc import VOC_CLASS_NAMES, VOC_MEAN, VOCDataset
 from ccnet_tpu.evaluation import Evaluator
 from ccnet_tpu.models import build_model
 from ccnet_tpu.train.optim import make_optimizer
@@ -25,7 +27,12 @@ def get_parser():
     p = argparse.ArgumentParser(description="ccnet_tpu evaluation")
     p.add_argument("--data-dir", type=str, default="cityscapes")
     p.add_argument("--data-list", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="cityscapes",
+                   choices=["cityscapes", "voc"])
     p.add_argument("--split", type=str, default="val")
+    p.add_argument("--bucket", type=int, default=None,
+                   help="pad variable-size inputs up to multiples of this "
+                        "(bounds recompilation; default 128 for voc)")
     p.add_argument("--model", type=str, default="ccnet",
                    choices=["ccnet", "pspnet", "deeplabv3"])
     p.add_argument("--recurrence", type=int, default=2)
@@ -53,13 +60,22 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = get_logger("ccnet_tpu.cli.evaluate")
+    from ccnet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(logger)
     h, w = (int(x) for x in args.input_size.split(","))
     if args.fp32:
         # strict numerics: f32 MXU passes instead of the TPU's bf16 default
         jax.config.update("jax_default_matmul_precision", "highest")
 
+    is_voc = args.dataset == "voc"
+    num_classes = args.num_classes
+    if is_voc and num_classes == 19:
+        num_classes = 21  # VOC default (20 classes + background)
+    args.num_classes = num_classes
+
     model = build_model(
-        args.model, num_classes=args.num_classes, recurrence=args.recurrence,
+        args.model, num_classes=num_classes, recurrence=args.recurrence,
         depth=args.depth, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
     )
     variables = jax.jit(lambda: model.init(
@@ -84,6 +100,10 @@ def main(argv=None):
     if args.synthetic:
         sh, sw = (int(x) for x in args.synthetic_size.split(","))
         dataset = SyntheticDataset(n=2, hw=(sh, sw), num_classes=args.num_classes)
+    elif is_voc:
+        if not args.data_list:
+            raise SystemExit("--data-list (VOC id list) is required for --dataset voc")
+        dataset = VOCDataset(args.data_dir, args.data_list)
     else:
         dataset = CityscapesDataset(args.data_dir, args.data_list, split=args.split)
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
@@ -94,12 +114,23 @@ def main(argv=None):
         from ccnet_tpu.parallel import make_mesh
 
         mesh = make_mesh()
+    if is_voc:
+        from ccnet_tpu.data.palette import voc_colormap
+
+        mean = VOC_MEAN
+        class_names = VOC_CLASS_NAMES if num_classes == 21 else None
+        palette = voc_colormap(256).astype("uint8").ravel().tolist()
+        bucket = args.bucket if args.bucket is not None else 128
+    else:
+        mean = CITYSCAPES_MEAN_BGR
+        class_names = CITYSCAPES_CLASS_NAMES if num_classes == 19 else None
+        palette = None
+        bucket = args.bucket
     evaluator = Evaluator(
-        apply_fn, num_classes=args.num_classes, tile_hw=(h, w),
+        apply_fn, num_classes=num_classes, tile_hw=(h, w),
         scales=[float(s) for s in args.scales.split(",")],
-        flip=args.flip, whole=args.whole,
-        class_names=CITYSCAPES_CLASS_NAMES if args.num_classes == 19 else None,
-        mesh=mesh,
+        flip=args.flip, whole=args.whole, mean=mean,
+        class_names=class_names, mesh=mesh, bucket=bucket, palette=palette,
     )
     result = evaluator.run(loader, output_dir=args.output_dir,
                            save_preds=args.save_preds, logger=logger)

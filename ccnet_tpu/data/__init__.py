@@ -11,7 +11,12 @@ from ccnet_tpu.data.cityscapes import (
 )
 from ccnet_tpu.data.lists import generate_cityscapes_lists, generate_voc_lists
 from ccnet_tpu.data.voc import VOCDataset
-from ccnet_tpu.data.loader import AugmentingDataset, DataLoader, SyntheticDataset
+from ccnet_tpu.data.loader import (
+    AugmentingDataset,
+    CachedDataset,
+    DataLoader,
+    SyntheticDataset,
+)
 from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
 
 __all__ = [
@@ -26,6 +31,7 @@ __all__ = [
     "trainid_to_labelid",
     "VOCDataset",
     "AugmentingDataset",
+    "CachedDataset",
     "DataLoader",
     "SyntheticDataset",
     "cityscapes_palette",

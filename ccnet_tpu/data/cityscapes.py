@@ -76,6 +76,10 @@ class CityscapesDataset:
       split: train | val | test (used only for discovery).
       max_iters: replicate the id list to cover this many samples
         (reference ``datasets.py:132-133``).
+      raw_dtype: 'float32' (reference semantics) or 'uint8' — uint8 keeps the
+        decoded sample in its native byte layout so the host→device transfer
+        is 4× smaller; the device augmenter widens on chip (exact: raw pixels
+        are integers).
     """
 
     def __init__(
@@ -84,8 +88,10 @@ class CityscapesDataset:
         list_path: Optional[str] = None,
         split: str = "train",
         max_iters: Optional[int] = None,
+        raw_dtype: str = "float32",
     ):
         self.root = root
+        self.raw_dtype = raw_dtype
         self.lut = trainid_lut()
         items: List[Tuple[str, Optional[str]]] = []
         if list_path:
@@ -125,7 +131,6 @@ class CityscapesDataset:
         image = cv2.imread(img_path, cv2.IMREAD_COLOR)  # BGR, matches reference
         if image is None:
             raise IOError(f"failed to read {img_path}")
-        image = image.astype(np.float32)
         if lbl_path is None:
             label = np.full(image.shape[:2], IGNORE_LABEL, np.uint8)
         else:
@@ -133,4 +138,6 @@ class CityscapesDataset:
             if raw is None:
                 raise IOError(f"failed to read {lbl_path}")
             label = self.lut[raw]
-        return image, label.astype(np.int32), self.name(index)
+        if self.raw_dtype == "uint8":
+            return image, label, self.name(index)
+        return image.astype(np.float32), label.astype(np.int32), self.name(index)

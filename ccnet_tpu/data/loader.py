@@ -84,6 +84,38 @@ class AugmentingDataset:
         return img, lbl, name
 
 
+class CachedDataset:
+    """Decode-once RAM cache around any (image, label, name) dataset.
+
+    First access of an index pays the disk decode; repeat epochs serve the
+    raw arrays from memory (the TPU trains many epochs over 2975 images —
+    the reference re-decoded every epoch in its 8 DataLoader workers,
+    reference ``train.py:112``). Pair with ``raw_dtype='uint8'`` so the
+    cache holds ~8 MB/sample instead of 32 MB. Thread-safe for the loader's
+    worker pool (dict writes are atomic; a racing double-decode is benign).
+    """
+
+    def __init__(self, dataset, max_items: Optional[int] = None):
+        self.dataset = dataset
+        self.max_items = max_items
+        self._cache: dict = {}
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def name(self, index: int) -> str:
+        return self.dataset.name(index)
+
+    def __getitem__(self, index: int):
+        hit = self._cache.get(index)
+        if hit is not None:
+            return hit
+        item = self.dataset[index]
+        if self.max_items is None or len(self._cache) < self.max_items:
+            self._cache[index] = item
+        return item
+
+
 class DataLoader:
     """Iterates (images, labels, names) batches with background prefetch.
 
@@ -110,6 +142,7 @@ class DataLoader:
         num_workers: int = 8,
         drop_last: bool = True,
         prefetch: int = 2,
+        decode_ahead: Optional[int] = None,
         process_index: Optional[int] = None,
         process_count: Optional[int] = None,
     ):
@@ -120,6 +153,13 @@ class DataLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch = prefetch
+        # Max decoded samples in flight beyond the consume point — bounds the
+        # host RAM the lookahead can pin (decoded Cityscapes samples are
+        # ~32 MB each). Default: enough to cover the prefetch queue plus one
+        # batch of slack.
+        self.decode_ahead = (
+            decode_ahead if decode_ahead is not None else (prefetch + 1) * batch_size
+        )
         self.epoch = 0
         if process_index is None or process_count is None:
             import jax
@@ -153,36 +193,38 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
+            # submit sample decodes across batch boundaries (decode_ahead
+            # samples past the consume point) so a straggler in batch b
+            # doesn't idle the workers that could already decode b+1
+            ex = ThreadPoolExecutor(max_workers=self.num_workers)
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
-                    # submit sample decodes across batch boundaries (up to
-                    # prefetch+2 batches ahead) so a straggler in batch b
-                    # doesn't idle the workers that could already decode b+1
-                    flat = list(order[:min(len(order), n_batches * self.batch_size)])
-                    ahead = (self.prefetch + 2) * self.batch_size
-                    futures: dict = {}
-                    submitted = 0
-                    pos = 0
-                    for b in range(n_batches):
-                        if stop.is_set():
-                            return
-                        while submitted < len(flat) and submitted < pos + ahead:
-                            futures[submitted] = ex.submit(
-                                self.dataset.__getitem__, flat[submitted]
-                            )
-                            submitted += 1
-                        # last batch may be short when drop_last is False
-                        count = min(self.batch_size, len(flat) - b * self.batch_size)
-                        samples = []
-                        for _ in range(count):
-                            samples.append(futures.pop(pos).result())
-                            pos += 1
-                        images = np.stack([s[0] for s in samples])
-                        labels = np.stack([s[1] for s in samples])
-                        q.put((images, labels, [s[2] for s in samples]))
+                flat = list(order[:min(len(order), n_batches * self.batch_size)])
+                futures: dict = {}
+                submitted = 0
+                pos = 0
+                for b in range(n_batches):
+                    if stop.is_set():
+                        return
+                    while submitted < len(flat) and submitted < pos + self.decode_ahead:
+                        futures[submitted] = ex.submit(
+                            self.dataset.__getitem__, flat[submitted]
+                        )
+                        submitted += 1
+                    # last batch may be short when drop_last is False
+                    count = min(self.batch_size, len(flat) - b * self.batch_size)
+                    samples = []
+                    for _ in range(count):
+                        samples.append(futures.pop(pos).result())
+                        pos += 1
+                    images = np.stack([s[0] for s in samples])
+                    labels = np.stack([s[1] for s in samples])
+                    q.put((images, labels, [s[2] for s in samples]))
             except Exception as e:  # surface decode errors to the consumer
                 q.put(e)
             finally:
+                # drop queued lookahead work on teardown — don't block exit
+                # on decodes whose results will be discarded
+                ex.shutdown(wait=False, cancel_futures=True)
                 q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

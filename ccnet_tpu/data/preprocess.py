@@ -86,7 +86,13 @@ def device_augment(
     mirror: bool = True,  # reference --random-mirror
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One sample's scale+pad+crop+mirror, fully jittable. Returns
-    (crop_h, crop_w, 3) f32 mean-subtracted image and (crop_h, crop_w) label."""
+    (crop_h, crop_w, 3) f32 mean-subtracted image and (crop_h, crop_w) label.
+
+    ``image``/``label`` may arrive as uint8 (the wire-efficient host→device
+    layout — 4× less transfer than f32; raw pixels are integers so the cast
+    is exact) and are widened on device."""
+    image = image.astype(jnp.float32)
+    label = label.astype(jnp.int32)
     H0, W0 = image.shape[0], image.shape[1]
     ch, cw = crop_hw
     k_scale, k_oy, k_ox, k_flip = jax.random.split(key, 4)

@@ -16,6 +16,12 @@ import numpy as np
 VOC_MEAN = (128.0, 128.0, 128.0)
 VOC_SCALE_MIN, VOC_SCALE_STEPS = 0.5, 12  # 0.5 … 1.6
 
+VOC_CLASS_NAMES = (
+    "background", "aeroplane", "bicycle", "bird", "boat", "bottle", "bus",
+    "car", "cat", "chair", "cow", "diningtable", "dog", "horse", "motorbike",
+    "person", "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+
 
 class VOCDataset:
     def __init__(self, root: str, list_path: str, max_iters: Optional[int] = None,

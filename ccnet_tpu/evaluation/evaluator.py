@@ -35,6 +35,8 @@ class Evaluator:
         mean=CITYSCAPES_MEAN_BGR,
         class_names: Optional[Sequence[str]] = None,
         mesh=None,
+        bucket: Optional[int] = None,
+        palette: Optional[list] = None,
     ):
         self.apply_fn = apply_fn
         self.num_classes = num_classes
@@ -45,6 +47,15 @@ class Evaluator:
         self.ignore_label = ignore_label
         self.mean = np.asarray(mean, np.float32)
         self.class_names = class_names
+        # Pad-to-bucket (SURVEY §7e): variable-size datasets (VOC) would
+        # compile one program per image shape; rounding H/W up to the next
+        # multiple of ``bucket`` bounds compilation to the number of distinct
+        # buckets. Padding uses the dataset mean (zero after mean-subtract —
+        # the reference's pad_image cval, evaluate.py:95-100) and predictions
+        # are cropped back, so scored pixels are unaffected.
+        self.bucket = bucket
+        self.palette = palette
+        self.compiled_shapes: set = set()  # distinct jitted input shapes
         # ONE compiled program for the whole predict pipeline (mean-subtract →
         # multi-scale sliding forward → averaging → argmax). Eager op-by-op
         # execution is pathologically slow on remote-compile TPU platforms;
@@ -65,12 +76,23 @@ class Evaluator:
 
     def predict_batch(self, images: np.ndarray) -> np.ndarray:
         """Raw BGR f32 images (B, H, W, 3) → predicted trainIds (B, H, W)."""
-        return np.asarray(self._predict(jnp.asarray(images)))
+        images = np.asarray(images, np.float32)
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        if self.bucket:
+            Hp = -(-H // self.bucket) * self.bucket
+            Wp = -(-W // self.bucket) * self.bucket
+            if (Hp, Wp) != (H, W):
+                padded = np.empty((B, Hp, Wp, 3), np.float32)
+                padded[...] = self.mean  # zero after the pipeline's subtract
+                padded[:, :H, :W] = images
+                images = padded
+        self.compiled_shapes.add(images.shape)
+        return np.asarray(self._predict(jnp.asarray(images)))[:, :H, :W]
 
     def run(self, loader, output_dir: Optional[str] = None, save_preds: bool = False,
             log_every: int = 10, logger=None) -> dict:
         acc = ConfusionAccumulator(self.num_classes, self.ignore_label)
-        palette = cityscapes_palette()
+        palette = self.palette if self.palette is not None else cityscapes_palette()
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
         n_done = 0

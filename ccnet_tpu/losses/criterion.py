@@ -30,6 +30,7 @@ from ccnet_tpu.ops.upsampled_ce import (
     upsampled_nll,
     upsampled_nll_reference,
 )
+from ccnet_tpu.utils.platform import is_tpu_backend
 
 
 def _upsample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +52,7 @@ def _nll(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     H, W = labels.shape[1], labels.shape[2]
     rh = integer_upsample_ratio(h, H)
     if (rh is not None and rh == integer_upsample_ratio(w, W)
-            and jax.default_backend() == "tpu"):
+            and is_tpu_backend()):
         return upsampled_nll(logits.astype(jnp.float32), labels)
     return upsampled_nll_reference(logits, labels)
 

@@ -30,6 +30,11 @@ from ccnet_tpu.models.backbone import DilatedResNet
 from ccnet_tpu.nn.layers import ABN, Conv, torch_conv_init
 from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
 
+# 'auto' switches to the fused Pallas kernel above this per-device affinity
+# footprint — set from the measured v5e jnp-vs-kernel crossover
+# (scripts/bench_cca.py; see PARITY.md). Provisional until re-measured.
+_CCA_PALLAS_MIN_BYTES = 96 * 1024 * 1024
+
 
 class CrissCrossAttention(nn.Module):
     """Criss-cross attention with q/k/v projections and gamma-gated residual."""
@@ -48,25 +53,28 @@ class CrissCrossAttention(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            if jax.default_backend() == "cpu" or jax.device_count() > 1:
-                # CPU: the jnp path is the reference. Multi-device: pallas_call
-                # has no SPMD partitioning rule, while the jnp einsum path is
-                # natively partitionable by GSPMD (batch- or height-sharded) —
-                # the TPU-first answer under a mesh is to let XLA shard the
-                # matmuls, not to force a replicated kernel.
+            from ccnet_tpu.utils.platform import is_tpu_backend
+
+            if not is_tpu_backend():
+                # off-TPU the jnp path is the reference implementation
                 impl = "jnp"
             else:
-                # Single device: pick by the materialised-affinity footprint.
+                # Pick by the PER-DEVICE materialised-affinity footprint.
                 # At crop-scale shapes (8×97×97 → ~29 MB affinity) XLA's
                 # batched-matmul lowering of the jnp path beats the fused
                 # kernel (measured fwd+bwd 5.5 ms vs 8.4 ms on v5e — the
                 # kernel's grid/DMA overheads dominate at small H+W). The
-                # Pallas kernel is the long-context path: once the affinity
-                # tensor and its softmax/backward temps stop fitting
-                # comfortably in HBM, keeping the chain in VMEM wins.
+                # Pallas kernel is the long-context path: past the measured
+                # on-hardware crossover (see PARITY.md §CCA kernel; v5e
+                # fwd+bwd crossover sits between 129×257 and 257² per-image
+                # footprints) keeping the affinity chain in VMEM wins. Under
+                # a mesh the kernel runs per-shard through its batch-dim
+                # custom_partitioning rule, so the footprint that matters is
+                # the per-device one (batch sharded over the mesh).
                 b, hh, ww = q.shape[0], q.shape[1], q.shape[2]
-                aff_bytes = b * hh * ww * (hh + ww) * q.dtype.itemsize
-                impl = "pallas" if aff_bytes > 256 * 1024 * 1024 else "jnp"
+                local_b = max(-(-b // max(jax.device_count(), 1)), 1)
+                aff_bytes = local_b * hh * ww * (hh + ww) * q.dtype.itemsize
+                impl = "pallas" if aff_bytes > _CCA_PALLAS_MIN_BYTES else "jnp"
             if impl == "pallas":
                 try:
                     import ccnet_tpu.ops.cc_attention_pallas  # noqa: F401
@@ -120,6 +128,7 @@ class RCCAModule(nn.Module):
     out_channels: int = 512
     recurrence: int = 2
     impl: str = "auto"
+    drop_rate: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -136,7 +145,7 @@ class RCCAModule(nn.Module):
 
         out = _ConcatConv(self.out_channels, dtype=dt, name="bottleneck_conv")(x, out)
         out = ABN(self.out_channels, "leaky_relu", dtype=dt, name="bottleneck_bn")(out, train)
-        out = nn.Dropout(0.1, deterministic=not train)(out)
+        out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
         out = Conv(self.num_classes, (1, 1), use_bias=True, dtype=dt, name="classifier")(out)
         return out
 
@@ -145,6 +154,7 @@ class DSNHead(nn.Module):
     """Deeply-supervised auxiliary head off layer3."""
 
     num_classes: int
+    drop_rate: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -152,7 +162,7 @@ class DSNHead(nn.Module):
         dt = self.dtype
         out = Conv(512, (3, 3), padding=1, use_bias=True, dtype=dt, name="conv")(x)
         out = ABN(512, "leaky_relu", dtype=dt, name="bn")(out, train)
-        out = nn.Dropout(0.1, deterministic=not train)(out)
+        out = nn.Dropout(self.drop_rate, deterministic=not train)(out)
         out = Conv(self.num_classes, (1, 1), use_bias=True, dtype=dt, name="classifier")(out)
         return out
 
@@ -165,14 +175,15 @@ class CCNet(nn.Module):
     remat: Any = False  # see DilatedResNet.remat
     recurrence: int = 2
     impl: str = "auto"
+    drop_rate: float = 0.1  # head/DSN dropout (0 for deterministic parity runs)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         x3, x4 = DilatedResNet(self.layers, remat=self.remat, dtype=self.dtype, name="backbone")(x, train)
-        aux = DSNHead(self.num_classes, dtype=self.dtype, name="dsn")(x3, train)
+        aux = DSNHead(self.num_classes, drop_rate=self.drop_rate, dtype=self.dtype, name="dsn")(x3, train)
         main = RCCAModule(
             self.num_classes, recurrence=self.recurrence, impl=self.impl,
-            dtype=self.dtype, name="head",
+            drop_rate=self.drop_rate, dtype=self.dtype, name="head",
         )(x4, train)
         return {"main": main.astype(jnp.float32), "aux": aux.astype(jnp.float32)}

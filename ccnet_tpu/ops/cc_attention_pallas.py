@@ -44,14 +44,31 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _pick_tile(n_attend: int, cv: int, itemsize: int, budget_bytes: int = 3_000_000) -> int:
-    """Tile size (pixel-lines per grid step) keeping v/o blocks under budget.
+def _pick_tile(n_attend: int, cq: int, cv: int, itemsize: int, n_mats: int) -> int:
+    """Tile size (pixel-lines per grid step) fitting the whole working set in
+    VMEM (~16 MB/core on v5e).
 
-    The grid is DMA-bound (~24 µs/step floor measured on v5e), so bigger
-    tiles and narrower dtypes directly cut wall-clock."""
-    per_line = n_attend * cv * itemsize
-    t = max(1, min(16, budget_bytes // max(per_line, 1)))
-    return 16 if t >= 16 else 8  # sublane rule: tile dim must divide by 8
+    Accounts for ALL live buffers per grid step, not just the v/o blocks:
+    ``n_mats`` × (T, N, N) f32 intermediates (affinity/softmax slabs — 2 in
+    the forward, 3 in the backward assuming e→p and dp→de buffer reuse),
+    double-buffered input blocks (q, k, v[, g]), and the f32 outputs. At
+    crop-scale N (~97) this still picks T=16; at long-context N the (T, N, N)
+    slabs dominate and T drops — the grid turns compute-bound there, so
+    small T costs nothing. T is the third-from-last block dim (no sublane
+    constraint); multiples of 8 are preferred for the (1, T, N) stat blocks
+    whose sublane dim is T."""
+    budget = 12 * 1024 * 1024
+    per_line = (
+        n_mats * n_attend * n_attend * 4                      # f32 slabs
+        + 2 * n_attend * 2 * (cq + cv) * itemsize             # dbl-buffered ins
+        + n_attend * (2 * cq + cv) * 4 + 6 * n_attend * 4     # f32 outs + stats
+    )
+    t = budget // max(per_line, 1)
+    if t >= 16:
+        return 16
+    if t >= 8:
+        return 8
+    return max(1, int(t))
 
 
 # ---------------------------------------------------------------- forward ---
@@ -95,7 +112,7 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
     the M independent lines. Returns o (f32), m, l."""
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cv, v.dtype.itemsize)
+    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, n_mats=2)
     Mp = -(-M // T) * T
     if Mp != M:
         pad = [(0, 0), (0, Mp - M), (0, 0), (0, 0)]
@@ -187,7 +204,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
 def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dtype):
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cv, v.dtype.itemsize, budget_bytes=1_000_000)
+    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, n_mats=3)
     Mp = -(-M // T) * T
     if Mp != M:
         pad4 = [(0, 0), (0, Mp - M), (0, 0), (0, 0)]
@@ -236,6 +253,88 @@ def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dt
     return dq, dk, dv
 
 
+# ------------------------------------------------------------ partitioning ---
+#
+# pallas_call has no SPMD rule, so inside a multi-device jit the kernels
+# would force an all-gather of the global batch. Both paths are
+# embarrassingly parallel over images, so (like ops/upsampled_ce.py) the
+# multi-device route goes through a batch-dim ``custom_partitioning``: the
+# batch sharding (data-parallel training's layout) is kept, H/W/C are
+# replicated per shard, and each shard runs the fused kernel on its local
+# images. Under ``interpret`` (CPU mesh tests) the per-shard body is the
+# equivalent jnp math — the pallas interpreter cannot lower inside a
+# partitioned computation; the kernels themselves are oracle-tested via the
+# single-device path (tests/test_pallas_cca.py), the mesh tests validate the
+# partitioning.
+
+
+def _fwd_jnp_stats(q, k, v):
+    """jnp mirror of :func:`_fwd_impl`: (out f32, joint-softmax m, L)."""
+    from ccnet_tpu.ops.cc_attention import cca_logits_reference
+
+    H = q.shape[1]
+    logits = cca_logits_reference(q, k)  # (B, H, W, H+W) f32
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    L = jnp.sum(p, axis=-1)
+    att = p / L[..., None]
+    out_col = jnp.einsum("bhwk,bkwc->bhwc", att[..., :H], v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    out_row = jnp.einsum("bhwv,bhvc->bhwc", att[..., H:], v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    return out_col + out_row, m, L
+
+
+def _bwd_both_paths(q, k, v, g, m, L, delta, interpret: bool, precision: str):
+    """Full backward (both paths summed) from saved joint stats."""
+    md = _mxu_dtype(precision)
+    g = g.astype(jnp.float32 if precision == "highest" else v.dtype)
+    dq_c, dk_c, dv_c = _run_path_bwd(
+        _to_col(q), _to_col(k), _to_col(v), _to_col(g),
+        jnp.swapaxes(m, 1, 2), jnp.swapaxes(L, 1, 2), jnp.swapaxes(delta, 1, 2),
+        True, interpret, md,
+    )
+    dq_r, dk_r, dv_r = _run_path_bwd(q, k, v, g, m, L, delta, False, interpret, md)
+
+    dq = _to_col(dq_c) + dq_r
+    dk = _to_col(dk_c) + dk_r
+    dv = _to_col(dv_c) + dv_r
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_CCA_FWD_RULE = "b h w c, b h w c, b h w d -> b h w d, b h w, b h w"
+_CCA_BWD_RULE = ("b h w c, b h w c, b h w d, b h w d, b h w, b h w, b h w "
+                 "-> b h w c, b h w c, b h w d")
+_CCA_REPL = ("h", "w", "c", "d")
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_cca_fwd(interpret: bool, precision: str):
+    from ccnet_tpu.ops.upsampled_ce import _def_batch_partition
+
+    if interpret:
+        body = _fwd_jnp_stats
+    else:
+        def body(q, k, v):
+            return _fwd_impl(q, k, v, False, precision)
+    return _def_batch_partition(body, _CCA_FWD_RULE, _CCA_REPL)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_cca_bwd(interpret: bool, precision: str):
+    from ccnet_tpu.ops.upsampled_ce import _def_batch_partition
+
+    if interpret:
+        def body(q, k, v, g, m, L, delta):
+            _, vjp = jax.vjp(lambda q_, k_, v_: _fwd_jnp_stats(q_, k_, v_)[0], q, k, v)
+            dq, dk, dv = vjp(g.astype(jnp.float32))
+            return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    else:
+        def body(q, k, v, g, m, L, delta):
+            return _bwd_both_paths(q, k, v, g, m, L, delta, False, precision)
+    return _def_batch_partition(body, _CCA_BWD_RULE, _CCA_REPL)
+
+
 # -------------------------------------------------------------- public op ---
 
 
@@ -263,43 +362,44 @@ def _fwd_impl(q, k, v, interpret: bool, precision: str):
     return out, m, L
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _cca_pallas(q, k, v, interpret: bool, precision: str):
-    out, _, _ = _fwd_impl(q, k, v, interpret, precision)
+def _fwd_dispatch(q, k, v, interpret: bool, precision: str, partitioned: bool):
+    """Bare kernels, or the batch-partitioned wrapper for multi-device jits."""
+    if partitioned:
+        return _partitioned_cca_fwd(bool(interpret), precision)(q, k, v)
+    return _fwd_impl(q, k, v, interpret, precision)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _cca_pallas(q, k, v, interpret: bool, precision: str, partitioned: bool):
+    out, _, _ = _fwd_dispatch(q, k, v, interpret, precision, partitioned)
     return out.astype(v.dtype)
 
 
-def _cca_fwd(q, k, v, interpret: bool, precision: str):
-    out, m, L = _fwd_impl(q, k, v, interpret, precision)
+def _cca_fwd(q, k, v, interpret: bool, precision: str, partitioned: bool):
+    out, m, L = _fwd_dispatch(q, k, v, interpret, precision, partitioned)
     return out.astype(v.dtype), (q, k, v, out, m, L)
 
 
-def _cca_bwd(interpret: bool, precision: str, res, g):
+def _cca_bwd(interpret: bool, precision: str, partitioned: bool, res, g):
     q, k, v, out, m, L = res
+    # delta (= Σ_c out·d_out) is plain jnp — GSPMD shards it natively; the
+    # kernel-bound part (both path backwards) goes through the partitioned
+    # wrapper under a mesh. d_out rides through the kernels in the value
+    # dtype under default precision (DMA-bound grid); f32 under 'highest'.
     delta = jnp.sum(g.astype(jnp.float32) * out, axis=-1)  # (B, H, W)
-    # d_out rides through the kernels in the value dtype under default
-    # precision (DMA-bound grid); f32 under 'highest'.
-    g = g.astype(jnp.float32 if precision == "highest" else v.dtype)
-
-    md = _mxu_dtype(precision)
-    dq_c, dk_c, dv_c = _run_path_bwd(
-        _to_col(q), _to_col(k), _to_col(v), _to_col(g),
-        jnp.swapaxes(m, 1, 2), jnp.swapaxes(L, 1, 2), jnp.swapaxes(delta, 1, 2),
-        True, interpret, md,
-    )
-    dq_r, dk_r, dv_r = _run_path_bwd(q, k, v, g, m, L, delta, False, interpret, md)
-
-    dq = _to_col(dq_c) + dq_r
-    dk = _to_col(dk_c) + dk_r
-    dv = _to_col(dv_c) + dv_r
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    if partitioned:
+        return _partitioned_cca_bwd(bool(interpret), precision)(
+            q, k, v, g.astype(jnp.float32), m, L, delta
+        )
+    return _bwd_both_paths(q, k, v, g, m, L, delta, interpret, precision)
 
 
 _cca_pallas.defvjp(_cca_fwd, _cca_bwd)
 
 
 def criss_cross_attention_pallas(q, k, v, interpret: bool | None = None,
-                                 precision: str = "default"):
+                                 precision: str = "default",
+                                 partitioned: bool | None = None):
     """Fused criss-cross attention (joint row+column softmax, self masked).
 
     Same semantics as :func:`ccnet_tpu.ops.cc_attention.criss_cross_attention`.
@@ -307,8 +407,14 @@ def criss_cross_attention_pallas(q, k, v, interpret: bool | None = None,
     ``interpret`` defaults to True off-TPU (so the kernel logic is testable on
     CPU), False on TPU. ``precision``: 'default' feeds the MXU bf16 operands
     with f32 accumulation (XLA's default matmul precision); 'highest' keeps
-    operands f32.
+    operands f32. ``partitioned`` routes through the batch-dim
+    ``custom_partitioning`` wrapper (defaults to True iff >1 device is
+    visible, which lets batch-sharded multi-device jits keep their sharding).
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    return _cca_pallas(q, k, v, interpret, precision)
+        from ccnet_tpu.utils.platform import pallas_interpret_default
+
+        interpret = pallas_interpret_default()
+    if partitioned is None:
+        partitioned = jax.device_count() > 1
+    return _cca_pallas(q, k, v, interpret, precision, bool(partitioned))

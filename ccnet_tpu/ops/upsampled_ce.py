@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ccnet_tpu.utils.platform import pallas_interpret_default
+
 
 def _interp_params(interpret):
     """TPU-semantics interpreter (supports program_id etc.) when requested."""
@@ -171,16 +173,23 @@ def _bwd_kernel(Lt_ref, M_ref, lab_ref, g_ref, dL_ref, *, r: int, h: int, segs: 
 # spatial/class dims; each shard then runs the kernel on its local batch.
 
 
-def _keep_batch_sharding(sharding, ndim):
-    """NamedSharding that keeps dim-0's axes and replicates the rest.
+def _batch_axes(sharding):
+    """Dim-0 sharding axes of a NamedSharding (None when replicated)."""
+    spec = getattr(sharding, "spec", None)
+    return spec[0] if spec is not None and len(spec) > 0 else None
 
-    Arrays without a batch dim (the 2-D interpolation matrix) are fully
-    replicated.
+
+def _keep_batch_sharding(sharding, ndim, batch="own"):
+    """NamedSharding with the given batch axes on dim 0, rest replicated.
+
+    ``batch="own"`` reads dim 0 of ``sharding`` itself.  Arrays without a
+    batch dim (the 2-D interpolation matrix) are fully replicated.
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
-    spec = getattr(sharding, "spec", None)
-    b = spec[0] if ndim >= 3 and spec is not None and len(spec) > 0 else None
+    if batch == "own":
+        batch = _batch_axes(sharding)
+    b = batch if ndim >= 3 else None
     return NamedSharding(sharding.mesh, PartitionSpec(b, *([None] * (ndim - 1))))
 
 
@@ -190,17 +199,32 @@ def _def_batch_partition(fn, rule, need_replication):
     wrapped = custom_partitioning(fn)
 
     def propagate_user_sharding(mesh, user_shape):
-        return _keep_batch_sharding(user_shape.sharding, len(user_shape.shape))
+        return jax.tree.map(
+            lambda u: _keep_batch_sharding(u.sharding, len(u.shape)), user_shape
+        )
 
     def infer_sharding_from_operands(mesh, arg_shapes, result_shape):
-        return _keep_batch_sharding(arg_shapes[0].sharding, len(result_shape.shape))
+        return jax.tree.map(
+            lambda r: _keep_batch_sharding(arg_shapes[0].sharding, len(r.shape)),
+            result_shape,
+        )
 
     def partition(mesh, arg_shapes, result_shape):
+        # Every batch-carrying operand takes ITS BATCH SHARDING FROM THE
+        # FIRST operand: if labels or the bwd cotangent arrive replicated (or
+        # sharded differently) under the GSPMD fallback, GSPMD inserts the
+        # reshard — without this, each shard would pair its local first-arg
+        # slice with the first local-size rows of the full other arrays,
+        # silently mispairing every shard but 0.
+        b = _batch_axes(arg_shapes[0].sharding)
         arg_shardings = tuple(
-            _keep_batch_sharding(a.sharding, len(a.shape)) for a in arg_shapes
+            _keep_batch_sharding(a.sharding, len(a.shape), batch=b) for a in arg_shapes
         )
-        result_sharding = _keep_batch_sharding(
-            arg_shapes[0].sharding, len(result_shape.shape)
+        result_sharding = jax.tree.map(
+            lambda r: _keep_batch_sharding(
+                arg_shapes[0].sharding, len(r.shape), batch=b
+            ),
+            result_shape,
         )
         return mesh, fn, result_sharding, arg_shardings
 
@@ -331,9 +355,18 @@ def _bwd_impl(logits, labels, g, interpret, M=None):
     return jnp.transpose(dLt, (0, 1, 3, 2)).astype(logits.dtype)  # (B, h, w, C)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _resolve_modes(interpret, partitioned):
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if partitioned is None:
+        partitioned = jax.device_count() > 1
+    return bool(interpret), bool(partitioned)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def upsampled_nll(logits: jnp.ndarray, labels: jnp.ndarray,
-                  interpret: bool | None = None) -> jnp.ndarray:
+                  interpret: bool | None = None,
+                  partitioned: bool | None = None) -> jnp.ndarray:
     """Per-pixel NLL of align-corners-upsampled logits, fused on TPU.
 
     Args:
@@ -341,36 +374,37 @@ def upsampled_nll(logits: jnp.ndarray, labels: jnp.ndarray,
       labels: (B, H, W) int with H = (h−1)·r+1, W = (w−1)·r+1. Out-of-range
         entries (e.g. ignore 255 ≥ C) yield nll 0 with zero gradient, exactly
         like the reference's one-hot formulation.
-      interpret: run the kernel in interpreter mode (defaults to True off-TPU).
+      interpret: run the kernel in interpreter mode (defaults to True on any
+        non-TPU backend).
+      partitioned: route through the batch-dim ``custom_partitioning`` wrapper
+        (defaults to True iff >1 device is visible, which lets batch-sharded
+        multi-device jits keep their sharding).
     Returns:
       (B, H, W) f32 nll; differentiable wrt logits.
     """
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    if jax.device_count() > 1:
+    interpret, partitioned = _resolve_modes(interpret, partitioned)
+    if partitioned:
         M = _interp_matrix_for(logits, labels)
-        return _partitioned_fwd(bool(interpret))(logits, labels, M)
+        return _partitioned_fwd(interpret)(logits, labels, M)
     return _fwd_impl(logits, labels, interpret)
 
 
-def _vjp_fwd(logits, labels, interpret):
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    if jax.device_count() > 1:
+def _vjp_fwd(logits, labels, interpret, partitioned):
+    interpret, partitioned = _resolve_modes(interpret, partitioned)
+    if partitioned:
         M = _interp_matrix_for(logits, labels)
-        nll = _partitioned_fwd(bool(interpret))(logits, labels, M)
+        nll = _partitioned_fwd(interpret)(logits, labels, M)
     else:
         nll = _fwd_impl(logits, labels, interpret)
     return nll, (logits, labels)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(interpret, partitioned, res, g):
     logits, labels = res
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    if jax.device_count() > 1:
+    interpret, partitioned = _resolve_modes(interpret, partitioned)
+    if partitioned:
         M = _interp_matrix_for(logits, labels)
-        dlogits = _partitioned_bwd(bool(interpret))(logits, labels, g, M)
+        dlogits = _partitioned_bwd(interpret)(logits, labels, g, M)
     else:
         dlogits = _bwd_impl(logits, labels, g, interpret)
     return dlogits, np.zeros(labels.shape, jax.dtypes.float0)

@@ -2,6 +2,10 @@
 
 Runs in interpreter mode on CPU (kernel logic); the same code path compiles
 on real TPU (exercised by bench.py / model forward with impl='pallas').
+Kernel-logic tests pin ``partitioned=False`` (the bare single-device path —
+the default under pytest's 8 virtual devices would be the partitioned
+wrapper, whose interpret-mode body is the jnp oracle); the partitioned
+route gets its own mesh tests at the bottom.
 
 precision='highest' (f32 MXU operands) checks exact math at tight tolerance;
 precision='default' (bf16 operands, f32 accumulation — the training config)
@@ -40,14 +44,14 @@ SHAPES = [
 def test_forward_matches_jnp_highest(shape):
     q, k, v = case(0, *shape)
     want = np.asarray(cca_jnp(q, k, v))
-    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="highest"))
+    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="highest", partitioned=False))
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 def test_forward_default_precision_close():
     q, k, v = case(4, 1, 13, 17, 8, 16)
     want = np.asarray(cca_jnp(q, k, v))
-    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="default"))
+    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="default", partitioned=False))
     np.testing.assert_allclose(got, want, atol=0.03, rtol=0.03)
 
 
@@ -60,7 +64,7 @@ def test_vjp_matches_jnp(shape):
         return jnp.vdot(cca_jnp(q, k, v), g)
 
     def f_pl(q, k, v):
-        return jnp.vdot(cca_pl(q, k, v, interpret=True, precision="highest"), g)
+        return jnp.vdot(cca_pl(q, k, v, interpret=True, precision="highest", partitioned=False), g)
 
     want = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     got = jax.grad(f_pl, argnums=(0, 1, 2))(q, k, v)
@@ -74,6 +78,63 @@ def test_vjp_matches_jnp(shape):
 def test_bf16_inputs():
     q, k, v = case(3, 1, 9, 11, 8, 16)
     q, k, v = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
-    got = np.asarray(cca_pl(q, k, v, interpret=True)).astype(np.float32)
+    got = np.asarray(cca_pl(q, k, v, interpret=True, partitioned=False)).astype(np.float32)
     want = np.asarray(cca_jnp(q, k, v)).astype(np.float32)
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
+
+
+# ------------------------------------------------------- partitioned route ---
+
+
+def _data_mesh():
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(jax.devices()).reshape(len(jax.devices())), ("data",))
+
+
+def test_partitioned_forward_keeps_batch_sharding_no_allgather():
+    """Batch-sharded q/k/v through the partitioned CCA: output keeps the
+    batch sharding and the compiled program contains no all-gather."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _data_mesh()
+    q, k, v = case(5, 8, 7, 9, 4, 8)
+    sh4 = NamedSharding(mesh, P("data", None, None, None))
+    q, k, v = (jax.device_put(a, sh4) for a in (q, k, v))
+
+    f = jax.jit(lambda q, k, v: cca_pl(q, k, v, interpret=True, partitioned=True))
+    out = f(q, k, v)
+    want = np.asarray(cca_jnp(q, k, v))
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+    assert out.sharding.spec[0] == "data"
+    hlo = f.lower(q, k, v).compile().as_text()
+    assert "all-gather" not in hlo
+
+
+def test_partitioned_vjp_matches_jnp_on_mesh():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _data_mesh()
+    q, k, v = case(6, 8, 6, 5, 4, 8)
+    g = jnp.asarray(np.random.RandomState(7).randn(*v.shape).astype(np.float32))
+    sh4 = NamedSharding(mesh, P("data", None, None, None))
+    qs, ks, vs = (jax.device_put(a, sh4) for a in (q, k, v))
+
+    want = jax.grad(lambda *a: jnp.vdot(cca_jnp(*a), g), argnums=(0, 1, 2))(q, k, v)
+    got = jax.jit(jax.grad(
+        lambda *a: jnp.vdot(cca_pl(*a, interpret=True, partitioned=True), g),
+        argnums=(0, 1, 2),
+    ))(qs, ks, vs)
+    for gw, gg, name in zip(want, got, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(gw), atol=3e-5,
+            err_msg=f"partitioned grad mismatch for {name}")
+
+
+def test_partitioned_replicated_inputs_still_correct():
+    """Replicated (uncommitted) inputs through the partitioned route must
+    give the same answer — the partition rule reshards operands from the
+    first operand's spec instead of mispairing shards."""
+    q, k, v = case(8, 8, 5, 6, 4, 8)
+    got = jax.jit(lambda q, k, v: cca_pl(q, k, v, interpret=True, partitioned=True))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(cca_jnp(q, k, v)), atol=2e-5)

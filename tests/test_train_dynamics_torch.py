@@ -1,0 +1,274 @@
+"""Lockstep multi-step training-dynamics parity vs a torch replica.
+
+The reference's published mIoU rests on 60k real steps of the loop at
+reference ``train.py:199-235``: poly LR + torch-SGD (momentum 0.9, weight
+decay folded into the gradient before the momentum buffer) + OHEM-DSN loss +
+train-mode BN running-stat updates, all interacting across steps.  Static
+one-shot parity (forward, one grad, one BN update) cannot catch a wrong
+*composition* — e.g. wd applied after momentum, LR schedule off by one step,
+BN momentum compounding differently, or OHEM selection drifting.
+
+This test runs SEVERAL full optimizer steps on a tiny CCNet in lockstep with
+an independent torch implementation of the same recipe:
+
+* identical initial weights, transferred through the real ``.pth`` export;
+* identical per-step batches (fresh data every step);
+* torch side: ``optim.SGD(momentum=0.9, weight_decay=wd)`` + the reference's
+  ``lr_poly`` applied before each step (reference ``train.py:126-127,182-183,
+  217-222``) + an OHEM-DSN criterion replicating this package's exact-k-th
+  selection semantics (upsampled align-corners logits, keep p ≤ max(thresh,
+  p_k)); dropout disabled on both sides (the one RNG-dependent op).
+
+Asserts per-step losses track and final params / momentum-carrying updates /
+BN running stats agree to f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ccnet_tpu.losses import build_criterion
+from ccnet_tpu.models import CCNet
+from ccnet_tpu.train import create_train_state, make_optimizer, make_train_step
+from ccnet_tpu.utils.checkpoint import save_pth
+
+torch = pytest.importorskip("torch")
+F = torch.nn.functional
+
+from test_full_ccnet_torch_parity import TorchCCNet  # noqa: E402
+
+CLASSES, LAYERS, R = 5, (1, 1, 1, 1), 2
+HW = 33  # OS-8 logits 5x5, ratio (33-1)/(5-1) = 8
+BATCH = 2
+BASE_LR, MAX_STEPS, WD, MOMENTUM = 1e-2, 20, 1e-4, 0.9
+THRESH, MIN_KEPT = 0.7, 800
+N_STEPS = 6
+
+
+def _batch(step):
+    rng = np.random.RandomState(100 + step)
+    x = rng.randn(BATCH, HW, HW, 3).astype(np.float32) * 0.5
+    y = rng.randint(0, CLASSES, size=(BATCH, HW, HW)).astype(np.int32)
+    y[rng.rand(BATCH, HW, HW) < 0.1] = 255  # ignore pixels
+    return x, y
+
+
+def _torch_ohem_dsn(main, aux, labels, thresh=THRESH, min_kept=MIN_KEPT):
+    """This package's OHEM-DSN criterion, independently in torch.
+
+    Same selection rule as :func:`ccnet_tpu.losses.ohem.ohem_keep_mask`
+    (exact k-th statistic at full resolution — the deliberate, documented
+    deviation from the reference's 1/8-zoom host-side threshold): keep valid
+    pixels with p_correct ≤ max(thresh, p_k), k = min_kept, or all valid
+    pixels when fewer than min_kept are valid. Aux loss is plain masked CE.
+    Returns (loss, keep_mask).
+    """
+    H, W = labels.shape[1], labels.shape[2]
+    valid = labels != 255
+    safe = torch.where(valid, labels, torch.zeros_like(labels)).long()
+
+    def nll_of(logits):
+        u = F.interpolate(logits, size=(H, W), mode="bilinear", align_corners=True)
+        logp = F.log_softmax(u, dim=1)
+        return -logp.gather(1, safe[:, None]).squeeze(1)  # (B, H, W)
+
+    nll_main = nll_of(main)
+    p = torch.exp(-nll_main.detach())
+    num_valid = int(valid.sum())
+    if num_valid <= min_kept:
+        threshold = 1.0
+    else:
+        kth = p[valid].kthvalue(min(min_kept, num_valid)).values.item()
+        threshold = max(thresh, kth)
+    keep = valid & (p <= threshold)
+    loss1 = nll_main[keep].mean()
+    loss2 = nll_of(aux)[valid].mean()
+    return loss1 + 0.4 * loss2, keep
+
+
+def _torch_ohem_dsn_loss(main, aux, labels):
+    return _torch_ohem_dsn(main, aux, labels)[0]
+
+
+def test_sgd_poly_wd_matches_torch_exactly():
+    """The optimizer chain alone, lockstep vs ``torch.optim.SGD`` — no
+    network, no float noise: analytic gradients, 10 steps, LARGE weight
+    decay so order-of-operations differences are far above tolerance.
+
+    Torch semantics under test (reference ``train.py:182-183,217``): wd added
+    to the gradient BEFORE the momentum buffer (so wd is momentum-compounded
+    — decoupled/AdamW-style wd would diverge here by step 2), buffer
+    ``buf = mu*buf + g`` with no dampening, poly LR applied per step with
+    step index starting at 0."""
+    wd, mu, base_lr, max_steps = 0.05, 0.9, 1e-2, 12
+    tx = make_optimizer(base_lr=base_lr, max_steps=max_steps, momentum=mu,
+                        weight_decay=wd)
+    rng = np.random.RandomState(0)
+    params = {"a": jnp.asarray(rng.randn(3, 4).astype(np.float32)),
+              "b": jnp.asarray(rng.randn(5).astype(np.float32))}
+    opt_state = tx.init(params)
+
+    tparams = [torch.nn.Parameter(torch.from_numpy(np.asarray(v).copy()))
+               for v in params.values()]
+    topt = torch.optim.SGD(tparams, lr=base_lr, momentum=mu, weight_decay=wd)
+
+    import optax
+
+    for i in range(10):
+        grads = {k: jnp.asarray(rng.randn(*v.shape).astype(np.float32))
+                 for k, v in params.items()}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        lr = base_lr * (1.0 - i / max_steps) ** 0.9
+        for group in topt.param_groups:
+            group["lr"] = lr
+        for tp, g in zip(tparams, grads.values()):
+            tp.grad = torch.from_numpy(np.asarray(g).copy())
+        topt.step()
+
+    for (k, v), tp in zip(params.items(), tparams):
+        np.testing.assert_allclose(
+            np.asarray(v), tp.detach().numpy(), rtol=0, atol=1e-6,
+            err_msg=f"optimizer semantics diverged at {k}")
+
+
+def test_ohem_selection_parity_nondegenerate(tmp_path):
+    """OHEM keep-mask parity at a threshold where the selection actually
+    drops pixels (thresh below the initial ~1/C correct-class probability):
+    both frameworks must select the IDENTICAL pixel set and agree on the
+    criterion value."""
+    thresh, min_kept = 0.15, 400
+    model = CCNet(num_classes=CLASSES, layers=LAYERS, recurrence=R,
+                  impl="jnp", drop_rate=0.0)
+    tx = make_optimizer(base_lr=BASE_LR, max_steps=MAX_STEPS)
+    state = create_train_state(model, tx, input_shape=(1, HW, HW, 3))
+    pth = str(tmp_path / "init.pth")
+    save_pth({"params": state.params, "batch_stats": state.batch_stats}, pth)
+    tm = TorchCCNet(CLASSES, LAYERS, R)
+    tm.load_state_dict(torch.load(pth, weights_only=False), strict=False)
+    for m in tm.modules():
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0.0
+    tm.train()
+
+    x, y = _batch(42)
+    outputs, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x), train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+
+    from ccnet_tpu.losses.criterion import criterion_ohem_dsn
+    from ccnet_tpu.losses.ohem import ohem_keep_mask
+    from ccnet_tpu.ops.upsampled_ce import upsampled_nll_reference
+
+    labels = jnp.asarray(y)
+    nll = upsampled_nll_reference(outputs["main"], labels)
+    keep_jax = np.asarray(ohem_keep_mask(
+        jnp.exp(-nll), labels != 255, thresh, min_kept))
+    loss_jax = float(criterion_ohem_dsn(outputs, labels, thresh=thresh,
+                                        min_kept=min_kept))
+
+    main_t, aux_t = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    loss_t, keep_t = _torch_ohem_dsn(main_t, aux_t, torch.from_numpy(y),
+                                     thresh=thresh, min_kept=min_kept)
+
+    n_total = keep_jax.size
+    n_valid = int((y != 255).sum())
+    n_keep = int(keep_jax.sum())
+    # non-degenerate: selection really dropped pixels, and kept >= min_kept
+    assert min_kept <= n_keep < n_valid < n_total, (min_kept, n_keep, n_valid)
+    np.testing.assert_array_equal(keep_jax, keep_t.numpy(),
+                                  err_msg="OHEM keep masks differ")
+    np.testing.assert_allclose(loss_jax, float(loss_t.detach()), rtol=0, atol=2e-4)
+
+
+def test_lockstep_training_dynamics(tmp_path):
+    model = CCNet(num_classes=CLASSES, layers=LAYERS, recurrence=R,
+                  impl="jnp", drop_rate=0.0)
+    tx = make_optimizer(base_lr=BASE_LR, max_steps=MAX_STEPS,
+                        momentum=MOMENTUM, weight_decay=WD)
+    criterion = build_criterion(ohem=True, thresh=THRESH, min_kept=MIN_KEPT)
+    state = create_train_state(model, tx, input_shape=(1, HW, HW, 3))
+    step_fn = make_train_step(model, criterion, tx)
+
+    # ---- identical init via the real .pth export path -------------------
+    pth = str(tmp_path / "init.pth")
+    save_pth({"params": state.params, "batch_stats": state.batch_stats}, pth)
+    tm = TorchCCNet(CLASSES, LAYERS, R)
+    res = tm.load_state_dict(torch.load(pth, weights_only=False), strict=False)
+    assert not res.unexpected_keys
+    for m in tm.modules():
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0.0
+    tm.train()
+    opt = torch.optim.SGD(tm.parameters(), lr=BASE_LR, momentum=MOMENTUM,
+                          weight_decay=WD)
+
+    # ---- N lockstep steps ------------------------------------------------
+    key = jax.random.PRNGKey(0)
+    jax_losses, torch_losses = [], []
+    for i in range(N_STEPS):
+        x, y = _batch(i)
+
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y), key)
+        jax_losses.append(float(metrics["loss"]))
+
+        # reference lr_poly applied before the step (train.py:217,126-127)
+        lr = BASE_LR * (1.0 - i / MAX_STEPS) ** 0.9
+        for group in opt.param_groups:
+            group["lr"] = lr
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        yt = torch.from_numpy(y)
+        main, aux = tm(xt)
+        loss = _torch_ohem_dsn_loss(main, aux, yt)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # ---- per-step losses track ------------------------------------------
+    # Step 0 has no accumulated state: tight f32 tolerance. Later steps
+    # drift via (a) conv-algorithm noise amplified through BN normalisation
+    # and (b) OHEM boundary pixels — one pixel within ~1e-7 of the keep
+    # threshold flipping between frameworks moves the mean loss by
+    # ~nll/kept ≈ 1.5e-3. Composition bugs (wd after momentum, LR
+    # off-by-one, BN momentum wrong) produce >1e-2 divergence within these
+    # six steps, well outside the 2e-3 band.
+    assert abs(jax_losses[0] - torch_losses[0]) < 1e-4, (jax_losses[0], torch_losses[0])
+    np.testing.assert_allclose(
+        jax_losses, torch_losses, rtol=0, atol=2e-3,
+        err_msg=f"loss trajectories diverged: jax={jax_losses} torch={torch_losses}")
+    # the run actually trained (loss moved measurably)
+    assert abs(jax_losses[-1] - jax_losses[0]) > 1e-3
+
+    # ---- final params + BN running stats agree ---------------------------
+    # Band calibrated against the intrinsic drift floor: with IDENTICAL
+    # semantics (measured with OHEM both on and off — same numbers), six
+    # steps of conv-algorithm noise fed back through BN compound to ~3.5e-2
+    # relative on the most sensitive tensors (stem BN biases, whose
+    # magnitudes are ~1e-4 after 6 steps). A composition bug (wrong wd
+    # placement, BN momentum, LR schedule) diverges multiplicatively and
+    # lands orders of magnitude outside this band; the exact optimizer
+    # arithmetic is pinned noise-free by test_sgd_poly_wd_matches_torch_exactly.
+    pth2 = str(tmp_path / "final.pth")
+    save_pth({"params": state.params, "batch_stats": state.batch_stats}, pth2)
+    ours = torch.load(pth2, weights_only=False)
+    theirs = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    worst = (None, 0.0)
+    for k, v in ours.items():
+        a = np.asarray(v)
+        b = theirs[k]
+        scale = max(np.abs(b).max(), 1e-2)
+        diff = np.abs(a - b).max() / scale
+        if diff > worst[1]:
+            worst = (k, diff)
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=5e-2 * scale,
+            err_msg=f"post-training mismatch at {k} (rel {diff:.2e})")
+    # six composed SGD+BN updates stayed within f32 drift, not by luck of
+    # near-zero updates: gamma must have moved off its zero init
+    gamma = ours["head.cca.gamma"]
+    assert abs(float(np.asarray(gamma).ravel()[0])) > 1e-6

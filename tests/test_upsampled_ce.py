@@ -57,7 +57,9 @@ def test_forward_matches_oracle(shape):
     B, h, w, C, r = shape
     logits, labels = _case(B, h, w, C, r, 0)
     ref = upsampled_nll_reference(logits, labels)
-    got = upsampled_nll(logits, labels, True)
+    # partitioned=False: the bare interpret-mode KERNEL (the partitioned
+    # wrapper's interpret body is the oracle itself and would be vacuous)
+    got = upsampled_nll(logits, labels, True, False)
     # unmasked: ignore pixels (255) must yield nll 0 exactly like the oracle
     err = jnp.max(jnp.abs(ref - got))
     assert float(err) < 1e-5
@@ -73,7 +75,7 @@ def test_backward_matches_oracle(shape):
         return jnp.sum(fn(L) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
     gref = jax.grad(lambda L: loss(lambda x: upsampled_nll_reference(x, labels), L))(logits)
-    ggot = jax.grad(lambda L: loss(lambda x: upsampled_nll(x, labels, True), L))(logits)
+    ggot = jax.grad(lambda L: loss(lambda x: upsampled_nll(x, labels, True, False), L))(logits)
     scale = float(jnp.max(jnp.abs(gref))) + 1e-12
     assert float(jnp.max(jnp.abs(gref - ggot))) / scale < 1e-4
 
