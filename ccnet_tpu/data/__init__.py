@@ -1,7 +1,9 @@
 from ccnet_tpu.data.preprocess import (
     CITYSCAPES_MEAN_BGR,
     device_augment_batch,
+    finish_u8_crops,
     host_augment,
+    host_augment_u8,
 )
 from ccnet_tpu.data.cityscapes import (
     CITYSCAPES_ID_TO_TRAINID,
@@ -16,6 +18,8 @@ from ccnet_tpu.data.loader import (
     CachedDataset,
     DataLoader,
     SyntheticDataset,
+    U8CropDataset,
+    device_prefetch,
 )
 from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
 
@@ -34,6 +38,10 @@ __all__ = [
     "CachedDataset",
     "DataLoader",
     "SyntheticDataset",
+    "U8CropDataset",
+    "device_prefetch",
+    "finish_u8_crops",
+    "host_augment_u8",
     "cityscapes_palette",
     "save_indexed_png",
 ]

@@ -84,6 +84,66 @@ class AugmentingDataset:
         return img, lbl, name
 
 
+class U8CropDataset:
+    """Host-side augmentation to fixed-size **uint8** crops — the
+    wire-minimal input path.
+
+    Wraps a raw uint8 dataset (``CityscapesDataset(raw_dtype='uint8')``,
+    ideally behind :class:`CachedDataset`) with
+    :func:`ccnet_tpu.data.preprocess.host_augment_u8`: cv2 scale + pad +
+    crop + mirror all in uint8, exactly like the reference
+    (``dataset/datasets.py:157-161`` resizes the uint8 image BEFORE the f32
+    conversion). The f32 widen + mean subtraction happen on device
+    (:func:`~ccnet_tpu.data.preprocess.finish_u8_crops`), so the
+    host→device wire carries 769² uint8 crops — 3.4× fewer bytes than a
+    full-resolution uint8 Cityscapes image, 16× fewer than an f32 crop.
+
+    Augmentation draws are deterministic per (seed, epoch, index) and
+    re-drawn every epoch (``set_epoch``), matching the reference DataLoader's
+    fresh-randomness-per-epoch behaviour while staying restart-reproducible.
+    """
+
+    def __init__(self, dataset, crop_hw=(769, 769), mean=None,
+                 scale: bool = True, mirror: bool = True,
+                 ignore_label: int = 255, scale_min: float = 0.7,
+                 scale_steps: int = 15, seed: int = 0):
+        from ccnet_tpu.data.preprocess import CITYSCAPES_MEAN_BGR, host_augment_u8
+
+        self._augment = host_augment_u8
+        self.dataset = dataset
+        self.crop_hw = crop_hw
+        self.mean = CITYSCAPES_MEAN_BGR if mean is None else mean
+        self.scale = scale
+        self.mirror = mirror
+        self.ignore_label = ignore_label
+        self.scale_min = scale_min
+        self.scale_steps = scale_steps
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def name(self, index):
+        return self.dataset.name(index)
+
+    def __getitem__(self, index):
+        image, label, name = self.dataset[index]
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 7919 + index) % (2 ** 31)
+        )
+        img, lbl = self._augment(
+            image, label, rng, crop_hw=self.crop_hw, mean=self.mean,
+            ignore_label=self.ignore_label, scale=self.scale,
+            mirror=self.mirror, scale_min=self.scale_min,
+            scale_steps=self.scale_steps,
+        )
+        return img, lbl, name
+
+
 class CachedDataset:
     """Decode-once RAM cache around any (image, label, name) dataset.
 
@@ -107,12 +167,17 @@ class CachedDataset:
         return self.dataset.name(index)
 
     def __getitem__(self, index: int):
-        hit = self._cache.get(index)
+        # key by sample NAME, not index: ``max_iters``-style epoch tiling
+        # (reference train.py:110, datasets.py:116) repeats the same file
+        # under many indices — those must be one cache entry, or the cache
+        # never hits within the tiled epoch
+        key = self.dataset.name(index)
+        hit = self._cache.get(key)
         if hit is not None:
             return hit
         item = self.dataset[index]
         if self.max_items is None or len(self._cache) < self.max_items:
-            self._cache[index] = item
+            self._cache[key] = item
         return item
 
 
@@ -173,6 +238,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        # augmenting wrappers re-draw their randomness per epoch
+        set_ds_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_ds_epoch is not None:
+            set_ds_epoch(epoch)
 
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
@@ -239,3 +308,52 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def device_prefetch(iterator, place_fn, depth: int = 2):
+    """Overlap host→device transfer with device compute.
+
+    A background thread pulls ``(images, labels, names)`` batches from
+    ``iterator`` and runs ``place_fn(images, labels) -> (dev_images,
+    dev_labels)`` (``jnp.asarray`` / ``jax.device_put`` with the desired
+    sharding) up to ``depth`` batches ahead of the consumer. On a real TPU
+    host the PCIe copy is cheap but still serial with the Python step loop;
+    on this rig's tunneled plugin the transfer is the slow leg outright —
+    either way it belongs off the critical path. The reference gets the same
+    overlap implicitly from ``DataLoader`` workers + ``cuda()`` ahead of
+    ``forward`` (reference ``train.py:206-210``).
+
+    Transfer errors surface at the consumer's ``next()``.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def producer():
+        try:
+            for images, labels, names in iterator:
+                if stop.is_set():
+                    return
+                q.put((*place_fn(images, labels), names))
+        except Exception as e:  # noqa: BLE001 - re-raised at the consumer
+            q.put(e)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # unblock a producer stuck on q.put so the daemon thread can exit
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

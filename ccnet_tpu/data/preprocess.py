@@ -164,6 +164,63 @@ def device_augment_batch(images, labels, key, crop_hw=(769, 769),
 # ------------------------------------------------------------- host twin ---
 
 
+def host_augment_u8(
+    image: np.ndarray,  # (H0, W0, 3) uint8 BGR (decoded bytes)
+    label: np.ndarray,  # (H0, W0) uint8 (trainId-mapped)
+    rng: np.random.RandomState,
+    crop_hw: Tuple[int, int] = (769, 769),
+    mean=CITYSCAPES_MEAN_BGR,
+    ignore_label: int = 255,
+    scale: bool = True,
+    mirror: bool = True,
+    scale_min: float = SCALE_MIN,
+    scale_steps: int = SCALE_STEPS,
+):
+    """Wire-minimal host augmentation: uint8 in, uint8 CROPS out.
+
+    The mean-subtract/f32-widen happens on DEVICE (see
+    :func:`finish_u8_crops`), so the host→device transfer is the 769² uint8
+    crop (3.4× fewer bytes than a full-resolution uint8 image, 16× fewer
+    than an f32 crop). Resizing runs on the uint8 image exactly like the
+    reference (``dataset/datasets.py:157-161`` calls cv2.resize BEFORE the
+    f32 conversion, rounding to uint8); the image pad value is the rounded
+    mean so it lands at ≈0 after the on-device subtract (pad pixels carry
+    label=ignore and no gradient either way).
+    """
+    import cv2
+
+    ch, cw = crop_hw
+    if scale:
+        f = scale_min + SCALE_STEP * rng.randint(0, scale_steps)
+        image = cv2.resize(image, None, fx=f, fy=f, interpolation=cv2.INTER_LINEAR)
+        label = cv2.resize(label, None, fx=f, fy=f, interpolation=cv2.INTER_NEAREST)
+    h, w = label.shape
+    pad_h, pad_w = max(ch - h, 0), max(cw - w, 0)
+    if pad_h or pad_w:
+        pad_val = np.round(np.asarray(mean)).astype(np.uint8)
+        image = np.stack(
+            [np.pad(image[..., c], ((0, pad_h), (0, pad_w)),
+                    constant_values=int(pad_val[c])) for c in range(3)], -1)
+        label = np.pad(label, ((0, pad_h), (0, pad_w)),
+                       constant_values=ignore_label)
+    h, w = label.shape
+    oy = rng.randint(0, h - ch + 1)
+    ox = rng.randint(0, w - cw + 1)
+    image = image[oy:oy + ch, ox:ox + cw]
+    label = label[oy:oy + ch, ox:ox + cw]
+    if mirror and rng.randint(0, 2):
+        image = image[:, ::-1]
+        label = label[:, ::-1]
+    return np.ascontiguousarray(image), np.ascontiguousarray(label)
+
+
+@functools.partial(jax.jit, static_argnames=("mean",))
+def finish_u8_crops(images_u8, labels_u8, mean=CITYSCAPES_MEAN_BGR):
+    """On-device tail of the u8-wire path: widen + mean-subtract."""
+    imgs = images_u8.astype(jnp.float32) - jnp.asarray(mean, jnp.float32)
+    return imgs, labels_u8.astype(jnp.int32)
+
+
 def host_augment(
     image: np.ndarray,  # (H0, W0, 3) f32 BGR
     label: np.ndarray,  # (H0, W0) int

@@ -72,8 +72,7 @@ def predict_sliding(
     # batch the tiles through the network, B*len(boxes) at a time in chunks
     tiles = jnp.concatenate(
         [image[:, y1:y2, x1:x2, :] for (y1, x1, y2, x2) in boxes], axis=0
-    )  # (nb*B, th, tw, 3)
-    outs = []
+    )  # (nb*B, th, tw, 3); tile t = box_index*B + batch_index
     n = tiles.shape[0]
     step = max(tiles_per_call, B)
     if mesh is not None:  # chunks must divide evenly over the mesh devices
@@ -97,12 +96,14 @@ def predict_sliding(
             )
         logits = apply_fn(chunk)
         logits = resize_bilinear_align_corners(logits.astype(jnp.float32), (th, tw))
-        outs.append(logits)
-    logits_all = jnp.concatenate(outs, axis=0)[:n]
-
-    for i, (y1, x1, y2, x2) in enumerate(boxes):
-        tile_logits = logits_all[i * B:(i + 1) * B]
-        full = full.at[:, y1:y2, x1:x2, :].add(tile_logits)
+        # accumulate this chunk straight into the canvas — holding every
+        # tile's full-res f32 logits at once costs ~n_tiles × 45 MB
+        # (OOM-deciding inside the one-jit multi-scale+flip program)
+        for j in range(min(step, n - s)):
+            i_box, b = divmod(s + j, B)
+            y1, x1, y2, x2 = boxes[i_box]
+            full = full.at[b, y1:y2, x1:x2, :].add(logits[j])
+    for (y1, x1, y2, x2) in boxes:
         count = count.at[:, y1:y2, x1:x2, :].add(1.0)
     full = full / count
     return full[:, :H, :W, :]

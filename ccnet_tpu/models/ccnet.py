@@ -30,10 +30,32 @@ from ccnet_tpu.models.backbone import DilatedResNet
 from ccnet_tpu.nn.layers import ABN, Conv, torch_conv_init
 from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
 
-# 'auto' switches to the fused Pallas kernel above this per-device affinity
-# footprint — set from the measured v5e jnp-vs-kernel crossover
-# (scripts/bench_cca.py; see PARITY.md). Provisional until re-measured.
-_CCA_PALLAS_MIN_BYTES = 96 * 1024 * 1024
+# 'auto' switches to the fused Pallas kernel once the attended-axis length
+# H+W reaches this — set from the measured v5e jnp-vs-kernel crossover
+# (scripts/bench_cca.py, 2026-08-17; full table in PARITY.md). The kernel's
+# fixed grid/DMA overhead is amortised by O(N²) MXU work per attended line,
+# so the crossover tracks N = max(H, W), not batch or footprint: at the 97²
+# crop (H+W = 194) jnp wins fwd+bwd 4.7 vs 6.6 ms; at every measured shape
+# with H+W ≥ 386 the kernel ties or wins (129×257 whole-image: 3.3 vs
+# 4.3 ms; 513²: 28.7 vs 40.8; 769²: 50.7 vs 105.3 — where the jnp path also
+# writes 3.6 GB of HBM affinity temps per image that the kernel never
+# materialises).
+_CCA_PALLAS_MIN_AXIS_SUM = 384
+
+
+def choose_cca_impl(batch: int, height: int, width: int) -> str:
+    """'auto' resolution: 'pallas' past the measured attended-axis crossover.
+
+    Off-TPU the jnp path is the reference. On TPU the decision is the
+    joint-softmax axis length H+W (batch-independent — measured at batch 1
+    and 8). Under a mesh the kernel runs per-shard through its batch-dim
+    ``custom_partitioning`` rule, so the choice needs no mesh awareness.
+    """
+    from ccnet_tpu.utils.platform import is_tpu_backend
+
+    if not is_tpu_backend():
+        return "jnp"
+    return "pallas" if height + width >= _CCA_PALLAS_MIN_AXIS_SUM else "jnp"
 
 
 class CrissCrossAttention(nn.Module):
@@ -53,28 +75,7 @@ class CrissCrossAttention(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            from ccnet_tpu.utils.platform import is_tpu_backend
-
-            if not is_tpu_backend():
-                # off-TPU the jnp path is the reference implementation
-                impl = "jnp"
-            else:
-                # Pick by the PER-DEVICE materialised-affinity footprint.
-                # At crop-scale shapes (8×97×97 → ~29 MB affinity) XLA's
-                # batched-matmul lowering of the jnp path beats the fused
-                # kernel (measured fwd+bwd 5.5 ms vs 8.4 ms on v5e — the
-                # kernel's grid/DMA overheads dominate at small H+W). The
-                # Pallas kernel is the long-context path: past the measured
-                # on-hardware crossover (see PARITY.md §CCA kernel; v5e
-                # fwd+bwd crossover sits between 129×257 and 257² per-image
-                # footprints) keeping the affinity chain in VMEM wins. Under
-                # a mesh the kernel runs per-shard through its batch-dim
-                # custom_partitioning rule, so the footprint that matters is
-                # the per-device one (batch sharded over the mesh).
-                b, hh, ww = q.shape[0], q.shape[1], q.shape[2]
-                local_b = max(-(-b // max(jax.device_count(), 1)), 1)
-                aff_bytes = local_b * hh * ww * (hh + ww) * q.dtype.itemsize
-                impl = "pallas" if aff_bytes > _CCA_PALLAS_MIN_BYTES else "jnp"
+            impl = choose_cca_impl(q.shape[0], q.shape[1], q.shape[2])
             if impl == "pallas":
                 try:
                     import ccnet_tpu.ops.cc_attention_pallas  # noqa: F401

@@ -44,38 +44,42 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _pick_tile(n_attend: int, cq: int, cv: int, itemsize: int, n_mats: int) -> int:
+def _pick_tile(n: int, cq: int, cv: int, isz: int, bwd: bool) -> int:
     """Tile size (pixel-lines per grid step) fitting the whole working set in
     VMEM (~16 MB/core on v5e).
 
     Accounts for ALL live buffers per grid step, not just the v/o blocks:
-    ``n_mats`` × (T, N, N) f32 intermediates (affinity/softmax slabs — 2 in
-    the forward, 3 in the backward assuming e→p and dp→de buffer reuse),
-    double-buffered input blocks (q, k, v[, g]), and the f32 outputs. At
-    crop-scale N (~97) this still picks T=16; at long-context N the (T, N, N)
-    slabs dominate and T drops — the grid turns compute-bound there, so
-    small T costs nothing. T is the third-from-last block dim (no sublane
-    constraint); multiples of 8 are preferred for the (1, T, N) stat blocks
-    whose sublane dim is T."""
-    budget = 12 * 1024 * 1024
-    per_line = (
-        n_mats * n_attend * n_attend * 4                      # f32 slabs
-        + 2 * n_attend * 2 * (cq + cv) * itemsize             # dbl-buffered ins
-        + n_attend * (2 * cq + cv) * 4 + 6 * n_attend * 4     # f32 outs + stats
-    )
-    t = budget // max(per_line, 1)
+    the (T, N, N) f32 intermediates (affinity/softmax slabs — 2 live in the
+    forward, 3 in the backward with e→p and dp→de buffer reuse), the
+    double-buffered input blocks, and the outputs. At crop-scale N (~97)
+    this still picks T=16; at long-context N the (T, N, N) slabs dominate
+    and T drops to a few lines — the grid is compute-bound there (O(N²)
+    MXU work per line), so small T costs nothing. T < 8 switches the
+    per-line stats to 4-D (1, T, N, 1) blocks (see ``stats4``) to satisfy
+    Mosaic's (sublane, lane) divisibility rule."""
+    if bwd:
+        per_line = (3 * n * n * 4                      # e/p, dp→de slabs
+                    + 2 * n * 2 * (cq + cv) * isz      # q,k,v,g dbl-buffered
+                    + 2 * n * (2 * cq + cv) * isz)     # dq,dk,dv (value dtype) dbl
+    else:
+        per_line = (2 * n * n * 4                      # e, p slabs
+                    + 2 * n * (2 * cq + cv) * isz      # q,k,v dbl-buffered
+                    + 2 * n * cv * isz)                # o (value dtype) dbl
+    t = int((12 * 1024 * 1024) // max(per_line, 1))
     if t >= 16:
         return 16
     if t >= 8:
         return 8
-    return max(1, int(t))
+    # below 8: power-of-two tiles only (4/2/1) — odd tile counts tickle
+    # Mosaic layout corner cases and buy no bandwidth
+    return max(1, 1 << (max(t, 1).bit_length() - 1))
 
 
 # ---------------------------------------------------------------- forward ---
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, tile: int, masked: bool,
-                mxu_dtype):
+                mxu_dtype, stats4: bool):
     """One path's forward. Blocks: q/k (1, T, N, Cq), v (1, T, N, Cv);
     outputs o (1, T, N, Cv) f32, m/l (1, T, N) f32. N = attended axis.
 
@@ -103,8 +107,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, tile: int, masked: 
         preferred_element_type=jnp.float32,
     )  # (T, N, Cv)
     o_ref[0] = o.astype(o_ref.dtype)
-    m_ref[0] = m
-    l_ref[0] = l
+    if stats4:  # (1, T, N, 1) stat blocks (T < 8: see _pick_tile)
+        m_ref[0, :, :, 0] = m
+        l_ref[0, :, :, 0] = l
+    else:
+        m_ref[0] = m
+        l_ref[0] = l
 
 
 def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
@@ -112,7 +120,8 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
     the M independent lines. Returns o (f32), m, l."""
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, n_mats=2)
+    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, bwd=False)
+    stats4 = T % 8 != 0  # Mosaic needs block dims (-2,-1) divisible-or-full
     Mp = -(-M // T) * T
     if Mp != M:
         pad = [(0, 0), (0, Mp - M), (0, 0), (0, 0)]
@@ -125,8 +134,14 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
     def im3(b, j):
         return (b, j, 0)
 
+    stat_spec = (pl.BlockSpec((1, T, N, 1), im4, memory_space=pltpu.VMEM)
+                 if stats4 else
+                 pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM))
+    stat_shape = jax.ShapeDtypeStruct((B, Mp, N, 1) if stats4 else (B, Mp, N),
+                                      jnp.float32)
     o, m, l = pl.pallas_call(
-        functools.partial(_fwd_kernel, tile=T, masked=masked, mxu_dtype=mxu_dtype),
+        functools.partial(_fwd_kernel, tile=T, masked=masked, mxu_dtype=mxu_dtype,
+                          stats4=stats4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, N, Cq), im4, memory_space=pltpu.VMEM),
@@ -135,8 +150,8 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
         ],
         out_specs=(
             pl.BlockSpec((1, T, N, Cv), im4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
         ),
         out_shape=(
             # DMA-bound grid: write the unnormalised aggregate in the value
@@ -146,8 +161,8 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
                 (B, Mp, N, Cv),
                 jnp.float32 if mxu_dtype == jnp.float32 else v.dtype,
             ),
-            jax.ShapeDtypeStruct((B, Mp, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, Mp, N), jnp.float32),
+            stat_shape,
+            stat_shape,
         ),
         # both grid dims are embarrassingly parallel -> split across the
         # chip's two megacores (the grid is launch/DMA bound, not compute)
@@ -156,6 +171,8 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
         ),
         interpret=interpret,
     )(q, k, v)
+    if stats4:
+        m, l = m[..., 0], l[..., 0]
     if Mp != M:
         o, m, l = o[:, :M], m[:, :M], l[:, :M]
     return o, m, l
@@ -165,7 +182,8 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
-                dq_ref, dk_ref, dv_ref, *, tile: int, masked: bool, mxu_dtype):
+                dq_ref, dk_ref, dv_ref, *, tile: int, masked: bool, mxu_dtype,
+                stats4: bool):
     """One path's backward. g = d_out (1,T,N,Cv) f32; m/L joint stats; d = δ.
 
     Recomputes this path's joint-softmax probabilities from (q, k, m, L) and
@@ -175,6 +193,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
     k_b = k_ref[0].astype(mxu_dtype)
     v_b = v_ref[0].astype(mxu_dtype)
     g_b = g_ref[0].astype(jnp.float32)  # (T, N, Cv)
+    if stats4:  # (1, T, N, 1) stat blocks (T < 8: see _pick_tile)
+        m_b, L_b, d_b = m_ref[0, :, :, 0], L_ref[0, :, :, 0], d_ref[0, :, :, 0]
+    else:
+        m_b, L_b, d_b = m_ref[0], L_ref[0], d_ref[0]
     e = jax.lax.dot_general(
         q_b, k_b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )  # (T, N, N)
@@ -183,28 +205,29 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
         ii = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         jj = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         e = jnp.where((ii == jj)[None], NEG_INF, e)
-    p = jnp.exp(e - m_ref[0][:, :, None]) / L_ref[0][:, :, None]  # (T, N, N)
+    p = jnp.exp(e - m_b[:, :, None]) / L_b[:, :, None]  # (T, N, N)
     dp = jax.lax.dot_general(
         g_b.astype(mxu_dtype), v_b, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (T, N, N): dp[t, i, j] = g_ti · v_tj
-    de = (p * (dp - d_ref[0][:, :, None])).astype(mxu_dtype)  # (T, N, N)
+    de = (p * (dp - d_b[:, :, None])).astype(mxu_dtype)  # (T, N, N)
     dq_ref[0] = jax.lax.dot_general(
         de, k_b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+    ).astype(dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(
         de, q_b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
+    ).astype(dk_ref.dtype)
     dv_ref[0] = jax.lax.dot_general(
         p.astype(mxu_dtype), g_b.astype(mxu_dtype),
         (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
-    )
+    ).astype(dv_ref.dtype)
 
 
 def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dtype):
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, n_mats=3)
+    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, bwd=True)
+    stats4 = T % 8 != 0
     Mp = -(-M // T) * T
     if Mp != M:
         pad4 = [(0, 0), (0, Mp - M), (0, 0), (0, 0)]
@@ -213,6 +236,8 @@ def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dt
         # pad L with ones to avoid 0/0 in the padded region
         m, delta = jnp.pad(m, pad3), jnp.pad(delta, pad3)
         L = jnp.pad(L, pad3, constant_values=1.0)
+    if stats4:
+        m, L, delta = m[..., None], L[..., None], delta[..., None]
     grid = (B, Mp // T)
 
     def im4(b, j):
@@ -221,17 +246,21 @@ def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dt
     def im3(b, j):
         return (b, j, 0)
 
+    stat_spec = (pl.BlockSpec((1, T, N, 1), im4, memory_space=pltpu.VMEM)
+                 if stats4 else
+                 pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM))
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile=T, masked=masked, mxu_dtype=mxu_dtype),
+        functools.partial(_bwd_kernel, tile=T, masked=masked, mxu_dtype=mxu_dtype,
+                          stats4=stats4),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T, N, Cq), im4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, N, Cq), im4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, N, Cv), im4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, N, Cv), im4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, N), im3, memory_space=pltpu.VMEM),
+            stat_spec,
+            stat_spec,
+            stat_spec,
         ],
         out_specs=(
             pl.BlockSpec((1, T, N, Cq), im4, memory_space=pltpu.VMEM),
@@ -239,9 +268,19 @@ def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dt
             pl.BlockSpec((1, T, N, Cv), im4, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, Mp, N, Cq), jnp.float32),
-            jax.ShapeDtypeStruct((B, Mp, N, Cq), jnp.float32),
-            jax.ShapeDtypeStruct((B, Mp, N, Cv), jnp.float32),
+            # grads ride in the value dtype under default precision (they are
+            # summed across the two paths then cast to the input dtype anyway
+            # — ~halves the output buffers, which decides whether the 769²
+            # working set fits VMEM); f32 under 'highest'.
+            jax.ShapeDtypeStruct(
+                (B, Mp, N, Cq),
+                jnp.float32 if mxu_dtype == jnp.float32 else q.dtype),
+            jax.ShapeDtypeStruct(
+                (B, Mp, N, Cq),
+                jnp.float32 if mxu_dtype == jnp.float32 else q.dtype),
+            jax.ShapeDtypeStruct(
+                (B, Mp, N, Cv),
+                jnp.float32 if mxu_dtype == jnp.float32 else v.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")

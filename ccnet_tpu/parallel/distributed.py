@@ -66,26 +66,26 @@ def maybe_initialize_distributed(logger=None) -> bool:
             )
         return True
 
-    from ccnet_tpu.utils.platform import is_tpu_backend
-
-    if is_tpu_backend():
-        # Cloud TPU pod slices need no env vars — auto-detection finds the
-        # topology. Best-effort: a lone TPU VM or a tunneled plugin has no
-        # cluster metadata and raises; that is the single-process case.
-        try:
-            jax.distributed.initialize()
-            _initialized = True
-            if logger:
-                logger.info(
-                    "jax.distributed initialized (auto-detected): "
-                    f"process {jax.process_index()}/{jax.process_count()}"
-                )
-            return True
-        except Exception as e:  # noqa: BLE001 - degrade to single-process
-            if logger:
-                logger.info(f"jax.distributed auto-init unavailable ({e!r}); single-process")
-            return False
-    return False
+    # Cloud TPU pod slices need no env vars — auto-detection finds the
+    # topology. Best-effort, and attempted WITHOUT first querying the
+    # backend: any jax.devices()/default_backend() call would initialise
+    # XLA, after which initialize() refuses to run — so there is no
+    # "am I on a TPU?" pre-check here. A lone TPU VM, a tunneled plugin,
+    # or a plain CPU box has no cluster metadata and raises immediately;
+    # that is the single-process case.
+    try:
+        jax.distributed.initialize()
+        _initialized = True
+        if logger:
+            logger.info(
+                "jax.distributed initialized (auto-detected): "
+                f"process {jax.process_index()}/{jax.process_count()}"
+            )
+        return True
+    except Exception as e:  # noqa: BLE001 - degrade to single-process
+        if logger:
+            logger.info(f"jax.distributed auto-init unavailable ({e!r}); single-process")
+        return False
 
 
 def is_primary_host() -> bool:

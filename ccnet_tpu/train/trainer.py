@@ -75,7 +75,9 @@ class TrainConfig:
     space: int = 1
     mean: Tuple[float, float, float] = CITYSCAPES_MEAN_BGR
     # 'device': jitted gather-sampler on TPU; 'native': C++/OpenMP host
-    # kernel (ccnet_tpu/native); 'precropped': loader already yields crops
+    # kernel (ccnet_tpu/native); 'host_u8': loader yields uint8 crops
+    # (U8CropDataset — wire-minimal, reference cv2 semantics), device does
+    # the f32 widen + mean subtract; 'precropped': loader yields final crops
     augment_backend: str = "device"
     random_scale: bool = True   # reference --random-scale (train.py:92-95)
     random_mirror: bool = True  # reference --random-mirror
@@ -186,6 +188,12 @@ class Trainer:
                 scales, offs, flips, tuple(c.input_size), c.mean, c.ignore_label,
             )
             imgs, lbls = jnp.asarray(imgs_np), jnp.asarray(lbls_np)
+        elif c.augment_backend == "host_u8":
+            from ccnet_tpu.data.preprocess import finish_u8_crops
+
+            imgs, lbls = finish_u8_crops(
+                jnp.asarray(images), jnp.asarray(labels), mean=tuple(c.mean)
+            )
         elif c.augment_backend == "precropped":
             imgs, lbls = jnp.asarray(images), jnp.asarray(labels)
         else:
@@ -230,6 +238,16 @@ class Trainer:
             if it is None:
                 loader.set_epoch(epoch)
                 it = iter(loader)
+                if c.augment_backend != "native":
+                    # move the host→device copy off the critical path: a
+                    # background thread device_puts batch i+1 while the step
+                    # for batch i runs ('native' augments on host from the
+                    # raw arrays, so its transfer happens post-augment)
+                    from ccnet_tpu.data.loader import device_prefetch
+
+                    it = device_prefetch(
+                        it, lambda im, lb: (jnp.asarray(im), jnp.asarray(lb))
+                    )
             try:
                 images, labels, _ = next(it)
             except StopIteration:

@@ -210,3 +210,104 @@ def test_loader_pipelined_decode_stays_ordered():
             img, lbl, _ = SyntheticDataset(n=10, hw=(8, 8))[idx]
             np.testing.assert_array_equal(images[k], img)
             np.testing.assert_array_equal(labels[k], lbl)
+
+
+def test_u8_wire_path_matches_f32_host_augment():
+    """The wire-minimal u8 path (host_augment_u8 → finish_u8_crops) must
+    match the f32 host_augment chain: identical rng consumption (same
+    geometry draws), exact labels, images within u8-resize rounding (the
+    reference itself resizes in uint8 — datasets.py:157-161 — so the u8
+    path is the MORE faithful one; the f32 twin interpolates unrounded)."""
+    from ccnet_tpu.data import finish_u8_crops, host_augment_u8
+
+    rng = np.random.RandomState(7)
+    image = rng.randint(0, 256, size=(90, 130, 3)).astype(np.uint8)
+    label = rng.randint(0, 19, size=(90, 130)).astype(np.uint8)
+    label[rng.rand(90, 130) < 0.05] = 255
+
+    crop = (64, 64)
+    img8, lbl8 = host_augment_u8(image, label, np.random.RandomState(3),
+                                 crop_hw=crop, scale_min=0.7, scale_steps=15)
+    assert img8.dtype == np.uint8 and lbl8.dtype == np.uint8
+    assert img8.shape == (*crop, 3) and lbl8.shape == crop
+
+    imgf, lblf = host_augment(image.astype(np.float32), label.astype(np.int32),
+                              np.random.RandomState(3), crop_hw=crop,
+                              scale_min=0.7, scale_steps=15)
+    fin_img, fin_lbl = finish_u8_crops(jnp.asarray(img8[None]), jnp.asarray(lbl8[None]))
+    assert fin_img.dtype == jnp.float32 and fin_lbl.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(fin_lbl)[0], lblf)
+    # pad pixels: |round(mean) - mean| ≤ 0.5; resized pixels: u8 rounding ≤ 1
+    np.testing.assert_allclose(np.asarray(fin_img)[0], imgf, atol=1.0)
+
+
+def test_u8_crop_dataset_epoch_redraw_and_loader_forwarding():
+    """U8CropDataset re-draws augmentation per epoch (set_epoch forwarded by
+    the DataLoader) but is deterministic for a fixed (seed, epoch, index)."""
+    from ccnet_tpu.data import U8CropDataset
+
+    class RawU8(SyntheticDataset):
+        def __getitem__(self, index):
+            img, lbl, name = super().__getitem__(index)
+            return (np.clip(img, 0, 255).astype(np.uint8),
+                    np.clip(lbl, 0, 255).astype(np.uint8), name)
+
+    ds = U8CropDataset(RawU8(n=4, hw=(80, 120)), crop_hw=(48, 48), seed=5)
+    a0 = ds[1][0].copy()
+    a0_again = ds[1][0]
+    np.testing.assert_array_equal(a0, a0_again)  # deterministic within epoch
+
+    loader = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2)
+    loader.set_epoch(1)
+    assert ds.epoch == 1  # forwarded through the loader
+    a1 = ds[1][0]
+    assert not np.array_equal(a0, a1)  # fresh draws per epoch
+
+
+def test_device_prefetch_orders_places_and_raises():
+    """device_prefetch preserves order, applies place_fn, and surfaces
+    producer exceptions at the consumer."""
+    from ccnet_tpu.data import device_prefetch
+
+    batches = [(np.full((2, 4, 4, 3), i, np.uint8),
+                np.full((2, 4, 4), i, np.uint8), [f"b{i}"]) for i in range(5)]
+    out = list(device_prefetch(
+        iter(batches), lambda im, lb: (jnp.asarray(im), jnp.asarray(lb)), depth=2))
+    assert [n for (_, _, (n,)) in out] == [f"b{i}" for i in range(5)]
+    for i, (im, lb, _) in enumerate(out):
+        assert isinstance(im, jnp.ndarray)
+        assert int(im[0, 0, 0, 0]) == i and int(lb[0, 0, 0]) == i
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("decode failed")
+
+    it = device_prefetch(boom(), lambda im, lb: (im, lb))
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_cached_dataset_keys_by_name_across_epoch_tiling():
+    """max_iters-style epoch tiling repeats each file under many indices —
+    the decode cache must key by sample NAME so tiled indices hit."""
+    from ccnet_tpu.data import CachedDataset
+
+    class Counting:
+        def __init__(self):
+            self.decodes = 0
+        def __len__(self):
+            return 6  # 3 files tiled twice
+        def name(self, i):
+            return f"file_{i % 3}"
+        def __getitem__(self, i):
+            self.decodes += 1
+            return (np.full((4, 4, 3), i % 3, np.uint8),
+                    np.full((4, 4), i % 3, np.uint8), self.name(i))
+
+    inner = Counting()
+    ds = CachedDataset(inner)
+    for i in range(6):
+        img, _, _ = ds[i]
+        assert img[0, 0, 0] == i % 3
+    assert inner.decodes == 3  # one decode per unique file, not per index

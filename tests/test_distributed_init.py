@@ -51,37 +51,34 @@ def test_explicit_coordinator_failure_raises(monkeypatch):
 
 
 def test_tpu_pod_auto_init_attempted_without_env(monkeypatch):
-    """The Cloud-TPU-pod shape: TPU backend, no env vars — initialize() must
-    still be attempted (auto-detection)."""
+    """The Cloud-TPU-pod shape: no env vars — initialize() must still be
+    attempted (auto-detection), and WITHOUT any prior backend query (a
+    jax.devices()/default_backend() call would initialise XLA and make
+    initialize() refuse — the pre-check must not exist)."""
     calls = []
     _mock_initialize(monkeypatch, calls)
-    monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: True)
+
+    def backend_probe():  # a backend query before initialize() is the bug
+        raise AssertionError("maybe_initialize_distributed queried the backend")
+
+    monkeypatch.setattr(platform_mod, "is_tpu_backend", backend_probe)
+    monkeypatch.setattr(platform_mod, "backend_name", backend_probe)
     assert D.maybe_initialize_distributed() is True
     assert len(calls) == 1
 
 
-def test_tpu_single_vm_degrades_gracefully(monkeypatch):
-    """No cluster metadata: the auto attempt raises; degrade to
-    single-process, no exception."""
+def test_no_cluster_degrades_gracefully(monkeypatch):
+    """No cluster metadata (lone TPU VM, tunneled plugin, CPU box): the auto
+    attempt raises; degrade to single-process, no exception."""
     calls = []
     _mock_initialize(monkeypatch, calls, error=RuntimeError("no coordinator"))
-    monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: True)
     assert D.maybe_initialize_distributed() is False
     assert len(calls) == 1
-
-
-def test_cpu_backend_no_attempt(monkeypatch):
-    calls = []
-    _mock_initialize(monkeypatch, calls)
-    monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: False)
-    assert D.maybe_initialize_distributed() is False
-    assert calls == []
 
 
 def test_opt_out_env(monkeypatch):
     calls = []
     _mock_initialize(monkeypatch, calls)
-    monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: True)
     monkeypatch.setenv("CCNET_TPU_NO_DISTRIBUTED", "1")
     assert D.maybe_initialize_distributed() is False
     assert calls == []

@@ -103,3 +103,22 @@ def test_remat_modes_match_no_remat_gradients(mode):
     assert abs(float(got_loss) - float(want_loss)) < 1e-6
     for a, b in zip(jax.tree_util.tree_leaves(want_grad), jax.tree_util.tree_leaves(got_grad)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_choose_cca_impl_crossover(monkeypatch):
+    """'auto' switches to the Pallas kernel at the MEASURED attended-axis
+    (H+W) crossover (scripts/bench_cca.py): jnp at the 97² crop shape, the
+    kernel at whole-image and long-context shapes, batch-independent."""
+    import ccnet_tpu.utils.platform as platform_mod
+    from ccnet_tpu.models.ccnet import choose_cca_impl
+
+    monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: False)
+    assert choose_cca_impl(1, 769, 769) == "jnp"  # off-TPU: always jnp
+
+    monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: True)
+    assert choose_cca_impl(8, 97, 97) == "jnp"        # train crop: jnp wins
+    assert choose_cca_impl(1, 129, 257) == "pallas"   # whole-image eval
+    assert choose_cca_impl(8, 129, 257) == "pallas"   # batch-independent
+    assert choose_cca_impl(1, 257, 257) == "pallas"
+    assert choose_cca_impl(1, 513, 513) == "pallas"   # long-context
+    assert choose_cca_impl(1, 769, 769) == "pallas"

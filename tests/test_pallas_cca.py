@@ -83,6 +83,30 @@ def test_bf16_inputs():
     np.testing.assert_allclose(got, want, atol=0.05, rtol=0.05)
 
 
+def test_large_n_small_tile_stats4():
+    """N past the VMEM knee: the tile picker drops below 8 lines and the
+    kernel switches to 4-D (1, T, N, 1) stat blocks — fwd + VJP must still
+    match the jnp oracle (row path N=441 -> T<8; column path N=9 -> T=16,
+    so both layouts run in one call)."""
+    q, k, v = case(9, 1, 9, 441, 4, 8)
+    from ccnet_tpu.ops.cc_attention_pallas import _pick_tile
+    assert _pick_tile(441, 4, 8, 4, bwd=False) < 8  # the premise of the test
+
+    want = np.asarray(cca_jnp(q, k, v))
+    got = np.asarray(cca_pl(q, k, v, interpret=True, precision="highest",
+                            partitioned=False))
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+    g = jnp.asarray(np.random.RandomState(10).randn(*v.shape).astype(np.float32))
+    want_g = jax.grad(lambda *a: jnp.vdot(cca_jnp(*a), g), argnums=(0, 1, 2))(q, k, v)
+    got_g = jax.grad(
+        lambda *a: jnp.vdot(cca_pl(*a, interpret=True, precision="highest",
+                                   partitioned=False), g),
+        argnums=(0, 1, 2))(q, k, v)
+    for gw, gg, name in zip(want_g, got_g, "qkv"):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), atol=5e-5,
+                                   err_msg=f"stats4 grad mismatch for {name}")
+
 # ------------------------------------------------------- partitioned route ---
 
 
