@@ -69,7 +69,11 @@ def get_parser():
     )
     p.add_argument("--export-pth", type=str2bool, default=True)
     p.add_argument("--augment-backend", type=str, default="device",
-                   choices=["device", "native", "precropped"])
+                   choices=["device", "native", "host_u8", "precropped"],
+                   help="device: jitted TPU sampler; native: C++/OpenMP host "
+                        "kernel; host_u8: cv2 host augmentation to uint8 "
+                        "crops (wire-minimal, reference op order); "
+                        "precropped: loader already yields final crops")
     p.add_argument("--tensorboard", type=str2bool, default=False)
     p.add_argument("--profile-steps", type=str, default=None,
                    help="start,stop step range for a jax.profiler trace")
@@ -112,11 +116,17 @@ def main(argv=None):
         sh, sw = (int(x) for x in args.synthetic_size.split(","))
         dataset = SyntheticDataset(n=max(args.batch_size * 4, 16), hw=(sh, sw),
                                    num_classes=args.num_classes)
+        if cfg.augment_backend == "host_u8":
+            cfg.augment_backend = "device"  # synthetic yields f32 full images
     elif args.dataset == "voc":
         # variable-size images: host augmentation, crops arrive pre-made
         from ccnet_tpu.data.voc import VOC_MEAN, VOC_SCALE_MIN, VOC_SCALE_STEPS
 
         raw = VOCDataset(args.data_dir, args.data_list)
+        if args.cache_decoded:
+            from ccnet_tpu.data import CachedDataset
+
+            raw = CachedDataset(raw)  # cache RAW samples, not augmented crops
         dataset = AugmentingDataset(
             raw, crop_hw=(h, w), mean=VOC_MEAN, ignore_label=args.ignore_label,
             scale=args.random_scale, mirror=args.random_mirror,
@@ -126,15 +136,25 @@ def main(argv=None):
         cfg.augment_backend = "precropped"
         cfg.mean = VOC_MEAN
     else:
-        # uint8 wire layout for the on-device/native augmenters: 4× less
-        # host→device transfer than f32, exact (raw pixels are integers)
-        raw_dtype = "uint8" if cfg.augment_backend in ("device", "native") else "float32"
+        # uint8 wire layout for the on-device/native/host_u8 augmenters: 4×
+        # less host→device transfer than f32, exact (raw pixels are integers)
+        raw_dtype = ("uint8" if cfg.augment_backend in ("device", "native", "host_u8")
+                     else "float32")
         dataset = CityscapesDataset(args.data_dir, args.data_list, split="train",
                                     raw_dtype=raw_dtype)
-    if args.cache_decoded:
-        from ccnet_tpu.data import CachedDataset
+        if args.cache_decoded:
+            from ccnet_tpu.data import CachedDataset
 
-        dataset = CachedDataset(dataset)
+            dataset = CachedDataset(dataset)  # raw samples, pre-augmentation
+        if cfg.augment_backend == "host_u8":
+            from ccnet_tpu.data import U8CropDataset
+
+            dataset = U8CropDataset(
+                dataset, crop_hw=(h, w), mean=tuple(cfg.mean),
+                ignore_label=args.ignore_label, scale=args.random_scale,
+                mirror=args.random_mirror, scale_min=cfg.scale_min,
+                scale_steps=cfg.scale_steps, seed=args.random_seed,
+            )
     import jax
 
     if args.batch_size % jax.process_count():

@@ -66,6 +66,12 @@ class AugmentingDataset:
         self.scale_min = scale_min
         self.scale_steps = scale_steps
         self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        # fresh augmentation draws every epoch (the reference DataLoader
+        # re-draws per access); forwarded by DataLoader.set_epoch
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.dataset)
@@ -75,7 +81,9 @@ class AugmentingDataset:
 
     def __getitem__(self, index):
         image, label, name = self.dataset[index]
-        rng = np.random.RandomState((self.seed * 1000003 + index) % (2 ** 31))
+        rng = np.random.RandomState(
+            (self.seed * 1000003 + self.epoch * 7919 + index) % (2 ** 31)
+        )
         img, lbl = self._augment(
             image, label, rng, crop_hw=self.crop_hw, mean=self.mean,
             ignore_label=self.ignore_label, scale=self.scale, mirror=self.mirror,
