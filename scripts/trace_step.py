@@ -81,23 +81,29 @@ def parse_xplane(logdir, steps):
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
-    if "convolution" in n or "conv" in n:
+    """Categorize by the instruction's own name/opcode, NOT by substring over
+    the whole HLO line (operand text would misattribute — a BN fusion whose
+    operand list mentions a conv weight is not a conv)."""
+    head = name.split(" = ", 1)[0].lstrip("%").lower()
+    body = name.split(" = ", 1)[1] if " = " in name else ""
+    if " custom-call(" in body:
+        return "custom-call (pallas kernels etc.)"
+    if head.startswith("convolution"):
         return "conv"
-    if "multiply_reduce_fusion" in n:
-        return "multiply_reduce_fusion (mostly conv dgrads)"
-    if n.startswith("copy") or ".copy" in n or "transpose" in n:
+    if head.startswith("multiply_reduce_fusion"):
+        return "multiply_reduce_fusion (conv dgrads, BN-grad reduces)"
+    if head.startswith("multiply_add_fusion"):
+        return "multiply_add_fusion (conv wgrads + SGD update)"
+    if head.startswith("copy") or head.startswith("transpose"):
         return "copy/transpose"
-    if "custom-call" in n or "custom_call" in n or "tpu_custom_call" in n:
-        return "pallas custom-call"
-    if "dot" in n or "einsum" in n:
+    if head.startswith("dot"):
         return "dot"
-    if "reduce_window" in n or "select_and_scatter" in n:
+    if head.startswith(("reduce_window", "select-and-scatter", "select_and_scatter")):
         return "pooling"
-    if "fusion" in n:
-        return "other fusion (elementwise etc.)"
-    if "all-reduce" in n or "all-gather" in n:
+    if head.startswith(("all-reduce", "all-gather", "reduce-scatter")):
         return "collective"
+    if "fusion" in head:
+        return "other fusion (conv+BN fwd, residual/ReLU elementwise)"
     return "other"
 
 
