@@ -109,12 +109,21 @@ class U8CropDataset:
     Augmentation draws are deterministic per (seed, epoch, index) and
     re-drawn every epoch (``set_epoch``), matching the reference DataLoader's
     fresh-randomness-per-epoch behaviour while staying restart-reproducible.
+
+    ``engine``: 'cv2' resizes the whole image then crops (bit-faithful to the
+    reference's cv2 chain); 'native' calls the C++/OpenMP fused kernel
+    (``ccnet_tpu/native``) that samples ONLY the crop window — identical
+    half-pixel semantics, ±1 uint8 rounding vs cv2's fixed-point, and
+    host cost independent of the random scale (up to ~8× less arithmetic
+    at scale 2.1). 'auto' picks native when the library builds. Both
+    engines consume the SAME rng stream, so geometry (scale/crop/mirror
+    draws) is identical across engines.
     """
 
     def __init__(self, dataset, crop_hw=(769, 769), mean=None,
                  scale: bool = True, mirror: bool = True,
                  ignore_label: int = 255, scale_min: float = 0.7,
-                 scale_steps: int = 15, seed: int = 0):
+                 scale_steps: int = 15, seed: int = 0, engine: str = "auto"):
         from ccnet_tpu.data.preprocess import CITYSCAPES_MEAN_BGR, host_augment_u8
 
         self._augment = host_augment_u8
@@ -128,6 +137,14 @@ class U8CropDataset:
         self.scale_steps = scale_steps
         self.seed = seed
         self.epoch = 0
+        if engine == "auto":
+            from ccnet_tpu import native
+
+            engine = "native" if native.available() else "cv2"
+        if engine not in ("native", "cv2"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        self._identity_lut = np.arange(256, dtype=np.uint8)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -143,13 +160,39 @@ class U8CropDataset:
         rng = np.random.RandomState(
             (self.seed * 1000003 + self.epoch * 7919 + index) % (2 ** 31)
         )
-        img, lbl = self._augment(
-            image, label, rng, crop_hw=self.crop_hw, mean=self.mean,
-            ignore_label=self.ignore_label, scale=self.scale,
-            mirror=self.mirror, scale_min=self.scale_min,
-            scale_steps=self.scale_steps,
-        )
+        if self.engine == "native":
+            img, lbl = self._augment_native(image, label, rng)
+        else:
+            img, lbl = self._augment(
+                image, label, rng, crop_hw=self.crop_hw, mean=self.mean,
+                ignore_label=self.ignore_label, scale=self.scale,
+                mirror=self.mirror, scale_min=self.scale_min,
+                scale_steps=self.scale_steps,
+            )
         return img, lbl, name
+
+    def _augment_native(self, image, label, rng):
+        # Same rng consumption ORDER as host_augment_u8 (scale, oy, ox,
+        # mirror) so both engines draw identical geometry for a given
+        # (seed, epoch, index).
+        from ccnet_tpu import native
+        from ccnet_tpu.data.preprocess import SCALE_STEP
+
+        ch, cw = self.crop_hw
+        H0, W0 = label.shape
+        f = (self.scale_min + SCALE_STEP * rng.randint(0, self.scale_steps)
+             if self.scale else 1.0)
+        sh, sw = int(round(H0 * f)), int(round(W0 * f))
+        oy = rng.randint(0, max(sh, ch) - ch + 1)
+        ox = rng.randint(0, max(sw, cw) - cw + 1)
+        flip = rng.randint(0, 2) if self.mirror else 0
+        imgs, lbls = native.augment_batch_u8(
+            image[None], label[None], self._identity_lut,
+            np.asarray([f], np.float32), np.asarray([[oy, ox]], np.int32),
+            np.asarray([flip], np.uint8), (ch, cw), self.mean,
+            self.ignore_label,
+        )
+        return imgs[0], lbls[0]
 
 
 class CachedDataset:

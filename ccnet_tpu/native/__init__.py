@@ -61,6 +61,21 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),   # out_labels
         ]
         lib.ccnet_augment_batch.restype = None
+        lib.ccnet_augment_batch_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),   # images
+            ctypes.POINTER(ctypes.c_uint8),   # labels
+            ctypes.POINTER(ctypes.c_uint8),   # lut
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,   # B, H0, W0
+            ctypes.c_int, ctypes.c_int,                  # crop_h, crop_w
+            ctypes.POINTER(ctypes.c_float),   # scales
+            ctypes.POINTER(ctypes.c_int),     # offs
+            ctypes.POINTER(ctypes.c_uint8),   # flips
+            ctypes.POINTER(ctypes.c_uint8),   # pad_val (3, uint8)
+            ctypes.c_int,                      # ignore_label
+            ctypes.POINTER(ctypes.c_uint8),   # out_images
+            ctypes.POINTER(ctypes.c_uint8),   # out_labels
+        ]
+        lib.ccnet_augment_batch_u8.restype = None
         _lib = lib
         return _lib
 
@@ -105,6 +120,49 @@ def augment_batch(
         p(scales, ctypes.c_float), p(offs, ctypes.c_int), p(flips, ctypes.c_uint8),
         p(mean, ctypes.c_float), ignore_label,
         p(out_images, ctypes.c_float), p(out_labels, ctypes.c_int32),
+    )
+    return out_images, out_labels
+
+
+def augment_batch_u8(
+    images: np.ndarray,   # (B, H0, W0, 3) uint8 BGR
+    labels: np.ndarray,   # (B, H0, W0) uint8 raw label ids
+    lut: np.ndarray,      # (256,) uint8 id -> trainId (identity if mapped)
+    scales: np.ndarray,   # (B,) float32
+    offs: np.ndarray,     # (B, 2) int32 (oy, ox) in scaled space
+    flips: np.ndarray,    # (B,) uint8
+    crop_hw: Tuple[int, int],
+    mean,                 # float BGR mean; pad pixels get round(mean)
+    ignore_label: int = 255,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Wire-minimal fused augmentation: uint8 crops out, mean subtraction
+    deferred to the device (``finish_u8_crops``). Samples ONLY the crop
+    window (see augment.cpp) — the host-side cost does not grow with the
+    random scale, unlike resize-whole-then-crop."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native augment library unavailable (no g++?)")
+    B, H0, W0, _ = images.shape
+    ch, cw = crop_hw
+    images = np.ascontiguousarray(images, np.uint8)
+    labels = np.ascontiguousarray(labels, np.uint8)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    scales = np.ascontiguousarray(scales, np.float32)
+    offs = np.ascontiguousarray(offs, np.int32)
+    flips = np.ascontiguousarray(flips, np.uint8)
+    pad_val = np.round(np.asarray(mean)).astype(np.uint8)
+    out_images = np.empty((B, ch, cw, 3), np.uint8)
+    out_labels = np.empty((B, ch, cw), np.uint8)
+
+    def p(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    lib.ccnet_augment_batch_u8(
+        p(images, ctypes.c_uint8), p(labels, ctypes.c_uint8), p(lut, ctypes.c_uint8),
+        B, H0, W0, ch, cw,
+        p(scales, ctypes.c_float), p(offs, ctypes.c_int), p(flips, ctypes.c_uint8),
+        p(pad_val, ctypes.c_uint8), ignore_label,
+        p(out_images, ctypes.c_uint8), p(out_labels, ctypes.c_uint8),
     )
     return out_images, out_labels
 

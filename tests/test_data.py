@@ -311,3 +311,36 @@ def test_cached_dataset_keys_by_name_across_epoch_tiling():
         img, _, _ = ds[i]
         assert img[0, 0, 0] == i % 3
     assert inner.decodes == 3  # one decode per unique file, not per index
+
+
+def test_u8_crop_dataset_native_engine_matches_cv2():
+    """The native (C++/OpenMP crop-window) engine must draw the SAME
+    geometry as the cv2 engine from one rng stream (labels exactly equal —
+    nearest sampling is deterministic index math) and match images within
+    uint8 rounding (cv2 fixed-point vs float lerp)."""
+    from ccnet_tpu import native
+    from ccnet_tpu.data import U8CropDataset
+
+    if not native.available():
+        pytest.skip("native augment library unavailable")
+
+    class RawU8(SyntheticDataset):
+        def __getitem__(self, index):
+            img, lbl, name = super().__getitem__(index)
+            return (np.clip(img, 0, 255).astype(np.uint8),
+                    np.clip(lbl, 0, 19).astype(np.uint8), name)
+
+    kw = dict(crop_hw=(64, 64), seed=11, scale_min=0.7, scale_steps=15)
+    base = RawU8(n=6, hw=(90, 130))
+    ds_cv2 = U8CropDataset(base, engine="cv2", **kw)
+    ds_nat = U8CropDataset(base, engine="native", **kw)
+    for ep in (0, 1):
+        ds_cv2.set_epoch(ep)
+        ds_nat.set_epoch(ep)
+        for i in range(6):
+            img_c, lbl_c, _ = ds_cv2[i]
+            img_n, lbl_n, _ = ds_nat[i]
+            assert img_n.dtype == np.uint8 and lbl_n.dtype == np.uint8
+            np.testing.assert_array_equal(lbl_n, lbl_c)
+            diff = np.abs(img_n.astype(np.int32) - img_c.astype(np.int32))
+            assert diff.max() <= 2, (i, ep, diff.max())
