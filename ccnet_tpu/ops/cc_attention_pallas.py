@@ -44,7 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
-def _pick_tile(n: int, cq: int, cv: int, isz: int, bwd: bool) -> int:
+def _dot_precision(mxu_dtype):
+    """Dot precision matching the operand cast: f32 operands need an explicit
+    HIGHEST attribute or Mosaic still runs a single bf16 MXU pass."""
+    return jax.lax.Precision.HIGHEST if mxu_dtype == jnp.float32 else None
+
+
+def _pick_tile(n: int, cq: int, cv: int, isz: int, bwd: bool,
+               highp: bool = False) -> int:
     """Tile size (pixel-lines per grid step) fitting the whole working set in
     VMEM (~16 MB/core on v5e).
 
@@ -56,7 +63,11 @@ def _pick_tile(n: int, cq: int, cv: int, isz: int, bwd: bool) -> int:
     and T drops to a few lines — the grid is compute-bound there (O(N²)
     MXU work per line), so small T costs nothing. T < 8 switches the
     per-line stats to 4-D (1, T, N, 1) blocks (see ``stats4``) to satisfy
-    Mosaic's (sublane, lane) divisibility rule."""
+    Mosaic's (sublane, lane) divisibility rule.
+
+    ``highp``: HIGHEST-precision dots make Mosaic stage multi-pass f32
+    operand splits on the VMEM stack — measured ~25% over the plain-budget
+    estimate at crop shapes — so the budget drops to leave headroom."""
     if bwd:
         per_line = (3 * n * n * 4                      # e/p, dp→de slabs
                     + 2 * n * 2 * (cq + cv) * isz      # q,k,v,g dbl-buffered
@@ -65,7 +76,8 @@ def _pick_tile(n: int, cq: int, cv: int, isz: int, bwd: bool) -> int:
         per_line = (2 * n * n * 4                      # e, p slabs
                     + 2 * n * (2 * cq + cv) * isz      # q,k,v dbl-buffered
                     + 2 * n * cv * isz)                # o (value dtype) dbl
-    t = int((12 * 1024 * 1024) // max(per_line, 1))
+    budget = (8 if highp else 12) * 1024 * 1024
+    t = int(budget // max(per_line, 1))
     if t >= 16:
         return 16
     if t >= 8:
@@ -86,13 +98,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, tile: int, masked: 
     All T lines of the tile go through ONE batched dot_general (batch dim =
     line): better MXU occupancy than a per-line loop. Operands are fed to the
     MXU in bf16 (XLA's own default matmul precision on TPU) with f32
-    accumulation.
+    accumulation. Under 'highest' precision the dots must carry an explicit
+    HIGHEST attribute: Mosaic's default still multiplies f32 operands as a
+    single bf16 MXU pass (casting to f32 alone buys nothing on hardware —
+    only interpret mode would compute true f32).
     """
+    prec = _dot_precision(mxu_dtype)
     q_b = q_ref[0].astype(mxu_dtype)  # (T, N, Cq)
     k_b = k_ref[0].astype(mxu_dtype)
     v_b = v_ref[0].astype(mxu_dtype)
     e = jax.lax.dot_general(
-        q_b, k_b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        q_b, k_b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (T, N, N): e[t, i, j] = q_ti · k_tj
     if masked:
         n = e.shape[1]
@@ -104,7 +121,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, *, tile: int, masked: 
     l = jnp.sum(p, axis=2)
     o = jax.lax.dot_general(
         p.astype(mxu_dtype), v_b, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )  # (T, N, Cv)
     o_ref[0] = o.astype(o_ref.dtype)
     if stats4:  # (1, T, N, 1) stat blocks (T < 8: see _pick_tile)
@@ -120,7 +137,8 @@ def _run_path_fwd(q, k, v, masked: bool, interpret: bool, mxu_dtype):
     the M independent lines. Returns o (f32), m, l."""
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, bwd=False)
+    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, bwd=False,
+                   highp=mxu_dtype == jnp.float32)
     stats4 = T % 8 != 0  # Mosaic needs block dims (-2,-1) divisible-or-full
     Mp = -(-M // T) * T
     if Mp != M:
@@ -189,6 +207,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
     Recomputes this path's joint-softmax probabilities from (q, k, m, L) and
     emits de = p·(dp − δ), then dq/dk/dv via batched dots (batch dim = line).
     """
+    prec = _dot_precision(mxu_dtype)
     q_b = q_ref[0].astype(mxu_dtype)  # (T, N, Cq)
     k_b = k_ref[0].astype(mxu_dtype)
     v_b = v_ref[0].astype(mxu_dtype)
@@ -198,7 +217,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
     else:
         m_b, L_b, d_b = m_ref[0], L_ref[0], d_ref[0]
     e = jax.lax.dot_general(
-        q_b, k_b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        q_b, k_b, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=prec,
     )  # (T, N, N)
     if masked:
         n = e.shape[1]
@@ -208,25 +228,29 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, L_ref, d_ref,
     p = jnp.exp(e - m_b[:, :, None]) / L_b[:, :, None]  # (T, N, N)
     dp = jax.lax.dot_general(
         g_b.astype(mxu_dtype), v_b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )  # (T, N, N): dp[t, i, j] = g_ti · v_tj
     de = (p * (dp - d_b[:, :, None])).astype(mxu_dtype)  # (T, N, N)
     dq_ref[0] = jax.lax.dot_general(
-        de, k_b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        de, k_b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(dq_ref.dtype)
     dk_ref[0] = jax.lax.dot_general(
-        de, q_b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        de, q_b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(dk_ref.dtype)
     dv_ref[0] = jax.lax.dot_general(
         p.astype(mxu_dtype), g_b.astype(mxu_dtype),
         (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(dv_ref.dtype)
 
 
 def _run_path_bwd(q, k, v, g, m, L, delta, masked: bool, interpret: bool, mxu_dtype):
     B, M, N, Cq = q.shape
     Cv = v.shape[-1]
-    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, bwd=True)
+    T = _pick_tile(N, Cq, Cv, v.dtype.itemsize, bwd=True,
+                   highp=mxu_dtype == jnp.float32)
     stats4 = T % 8 != 0
     Mp = -(-M // T) * T
     if Mp != M:
