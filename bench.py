@@ -79,7 +79,10 @@ def _ensure_corpus(root, n=64, hw=(1024, 2048)):
 
     img_dir = os.path.join(root, "leftImg8bit", "train", "bench")
     lbl_dir = os.path.join(root, "gtFine", "train", "bench")
-    if os.path.isdir(img_dir) and len(os.listdir(img_dir)) >= n:
+    # both dirs must be complete — a run interrupted mid-write must not be
+    # accepted as a finished corpus
+    if (os.path.isdir(img_dir) and len(os.listdir(img_dir)) >= n
+            and os.path.isdir(lbl_dir) and len(os.listdir(lbl_dir)) >= n):
         return
     os.makedirs(img_dir, exist_ok=True)
     os.makedirs(lbl_dir, exist_ok=True)

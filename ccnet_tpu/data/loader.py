@@ -20,6 +20,38 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 
+def _epoch_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
+    """The per-(seed, epoch, index) augmentation rng — ONE definition shared
+    by every augmenting wrapper so their draw streams stay in sync (the
+    native/cv2 cross-engine parity and restart reproducibility depend on it)."""
+    return np.random.RandomState(
+        (seed * 1000003 + epoch * 7919 + index) % (2 ** 31)
+    )
+
+
+def _shutdown_pipeline(q: "queue.Queue", t: threading.Thread,
+                       stop: threading.Event) -> None:
+    """Tear down a bounded-queue producer thread without deadlock.
+
+    Setting ``stop`` alone is not enough: a producer blocked in ``q.put``
+    never observes it, leaking the thread plus everything it pins (decode
+    executor, lookahead samples, placed device batches). Drain the queue
+    until the producer exits — each drained slot wakes a blocked ``put``,
+    letting the producer reach its ``finally`` (whose sentinel put may block
+    again on a 1-slot queue, hence the loop)."""
+    stop.set()
+    while t.is_alive():
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            t.join(0.02)
+    while True:  # drop remaining references promptly
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            break
+
+
 class SyntheticDataset:
     """Fixed-size random dataset — for tests, benchmarks and smoke CLIs."""
 
@@ -81,9 +113,7 @@ class AugmentingDataset:
 
     def __getitem__(self, index):
         image, label, name = self.dataset[index]
-        rng = np.random.RandomState(
-            (self.seed * 1000003 + self.epoch * 7919 + index) % (2 ** 31)
-        )
+        rng = _epoch_rng(self.seed, self.epoch, index)
         img, lbl = self._augment(
             image, label, rng, crop_hw=self.crop_hw, mean=self.mean,
             ignore_label=self.ignore_label, scale=self.scale, mirror=self.mirror,
@@ -157,9 +187,7 @@ class U8CropDataset:
 
     def __getitem__(self, index):
         image, label, name = self.dataset[index]
-        rng = np.random.RandomState(
-            (self.seed * 1000003 + self.epoch * 7919 + index) % (2 ** 31)
-        )
+        rng = _epoch_rng(self.seed, self.epoch, index)
         if self.engine == "native":
             img, lbl = self._augment_native(image, label, rng)
         else:
@@ -347,7 +375,8 @@ class DataLoader:
                 ex.shutdown(wait=False, cancel_futures=True)
                 q.put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(target=producer, daemon=True,
+                             name="ccnet-loader-producer")
         t.start()
         try:
             while True:
@@ -358,7 +387,7 @@ class DataLoader:
                     raise item
                 yield item
         finally:
-            stop.set()
+            _shutdown_pipeline(q, t, stop)
 
 
 def device_prefetch(iterator, place_fn, depth: int = 2):
@@ -390,7 +419,8 @@ def device_prefetch(iterator, place_fn, depth: int = 2):
         finally:
             q.put(None)
 
-    t = threading.Thread(target=producer, daemon=True)
+    t = threading.Thread(target=producer, daemon=True,
+                         name="ccnet-prefetch-producer")
     t.start()
     try:
         while True:
@@ -401,10 +431,4 @@ def device_prefetch(iterator, place_fn, depth: int = 2):
                 raise item
             yield item
     finally:
-        stop.set()
-        # unblock a producer stuck on q.put so the daemon thread can exit
-        while not q.empty():
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+        _shutdown_pipeline(q, t, stop)

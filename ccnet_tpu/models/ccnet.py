@@ -84,7 +84,14 @@ class CrissCrossAttention(nn.Module):
         if impl == "pallas":
             from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas
 
-            out = criss_cross_attention_pallas(q, k, v)
+            # Honor strict-f32 runs (--fp32 sets jax_default_matmul_precision
+            # = 'highest'): the kernel's dots need the explicit attribute —
+            # the global config does not reach inside pallas_call, where
+            # default precision multiplies even f32 operands as bf16.
+            prec = ("highest"
+                    if jax.config.jax_default_matmul_precision in ("highest", "float32")
+                    else "default")
+            out = criss_cross_attention_pallas(q, k, v, precision=prec)
         else:
             out = cca_jnp(q, k, v)
         return gamma.astype(x.dtype) * out + x

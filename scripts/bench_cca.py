@@ -1,7 +1,7 @@
 """On-hardware A/B: jnp (XLA batched-matmul) vs fused Pallas criss-cross
 attention, fwd and fwd+bwd, at escalating shapes.
 
-Sets the `auto` crossover (`ccnet_tpu.models.ccnet._CCA_PALLAS_MIN_BYTES`)
+Sets the `auto` crossover (`ccnet_tpu.models.ccnet._CCA_PALLAS_MIN_AXIS_SUM`)
 from measurement instead of guesswork; results are recorded in PARITY.md.
 Run on the real TPU: `python scripts/bench_cca.py`.
 

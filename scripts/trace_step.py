@@ -53,7 +53,7 @@ def capture(logdir, steps):
     return steps
 
 
-def parse_xplane(logdir, steps):
+def parse_xplane(logdir):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
@@ -119,7 +119,7 @@ def main():
     steps = capture(args.logdir, args.steps)
     print(f"traced {steps} steps in {time.time() - t0:.1f}s wall")
 
-    per_op, per_cat = parse_xplane(args.logdir, steps)
+    per_op, per_cat = parse_xplane(args.logdir)
     total_ms = sum(per_op.values()) / 1e9
     print(f"\ntotal device op time: {total_ms:.1f} ms "
           f"({total_ms / steps:.1f} ms/step over {steps} steps)\n")

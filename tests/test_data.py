@@ -344,3 +344,46 @@ def test_u8_crop_dataset_native_engine_matches_cv2():
             np.testing.assert_array_equal(lbl_n, lbl_c)
             diff = np.abs(img_n.astype(np.int32) - img_c.astype(np.int32))
             assert diff.max() <= 2, (i, ep, diff.max())
+
+
+def _no_pipeline_threads():
+    import threading
+    return not any(t.name.startswith(("ccnet-loader-producer",
+                                      "ccnet-prefetch-producer"))
+                   for t in threading.enumerate() if t.is_alive())
+
+
+def test_loader_early_break_reclaims_producer_thread():
+    """Abandoning a DataLoader iterator mid-epoch must not leak the producer
+    (previously a producer blocked in q.put never observed stop and pinned
+    the decode executor + lookahead samples forever)."""
+    import time
+
+    ds = SyntheticDataset(n=32, hw=(16, 16))
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # generator finally -> _shutdown_pipeline
+    deadline = time.time() + 5
+    while not _no_pipeline_threads() and time.time() < deadline:
+        time.sleep(0.02)
+    assert _no_pipeline_threads(), "loader producer thread leaked"
+
+
+def test_device_prefetch_depth1_early_break_reclaims_thread():
+    """depth=1 is the adversarial case: after the consumer's drain, the
+    producer's pending put refills the single slot and the sentinel put
+    would deadlock without the drain-until-dead shutdown."""
+    import time
+
+    from ccnet_tpu.data import device_prefetch
+
+    ds = SyntheticDataset(n=32, hw=(16, 16))
+    loader = DataLoader(ds, 2, shuffle=False, num_workers=2, prefetch=1)
+    it = device_prefetch(iter(loader), lambda im, lb: (im, lb), depth=1)
+    next(it)
+    it.close()
+    deadline = time.time() + 5
+    while not _no_pipeline_threads() and time.time() < deadline:
+        time.sleep(0.02)
+    assert _no_pipeline_threads(), "prefetch producer thread leaked"
