@@ -57,6 +57,24 @@ def predict_sliding(
     *probabilities* averaged over overlapping tiles (reference semantics:
     logits are accumulated pre-softmax in the reference — it averages raw
     upsampled logits; we do the same and return averaged logits)."""
+    full = _predict_sliding_cf(apply_fn, image, tile_hw, num_classes,
+                               overlap, tiles_per_call, mesh)
+    return jnp.transpose(full, (0, 2, 3, 1))
+
+
+def _predict_sliding_cf(
+    apply_fn: Callable,
+    image: jnp.ndarray,
+    tile_hw: Tuple[int, int],
+    num_classes: int,
+    overlap: float = 1.0 / 3.0,
+    tiles_per_call: int = 8,
+    mesh=None,
+) -> jnp.ndarray:
+    """:func:`predict_sliding` returning CHANNELS-FIRST (B, C, H, W) —
+    the internal layout every full-resolution accumulation uses (see the
+    canvas comment below); multi-scale composes these without ever holding
+    an NHWC full-res tensor."""
     B, H, W, _ = image.shape
     th, tw = tile_hw
     # pad image up to tile size if smaller (reference pad_image, evaluate.py:95-100)
@@ -66,8 +84,15 @@ def predict_sliding(
     Hp, Wp = image.shape[1], image.shape[2]
     boxes = compute_tiles((Hp, Wp), (th, tw), overlap)
 
-    full = jnp.zeros((B, Hp, Wp, num_classes), jnp.float32)
-    count = jnp.zeros((1, Hp, Wp, 1), jnp.float32)
+    # The accumulation canvas is CHANNELS-FIRST: with NHWC the 19-class dim
+    # lands in the lane dimension of the canvas layout and XLA pads it toward
+    # 128 lanes — the 8 stitch dynamic-update-slices then ran ~15× off the
+    # HBM roofline (measured 5.6 ms each, ~45 ms/img of pure stitch). With
+    # (B, C, Hp, Wp) the updated dims (H, W) tile densely at (8, 128) and
+    # the whole stitch drops to ~5 ms/img. The per-tile logits are
+    # transposed while still small (OS-8, ~3 MB) before the upsample.
+    full = jnp.zeros((B, num_classes, Hp, Wp), jnp.float32)
+    count = jnp.zeros((1, 1, Hp, Wp), jnp.float32)
 
     # batch the tiles through the network, B*len(boxes) at a time in chunks
     tiles = jnp.concatenate(
@@ -95,25 +120,33 @@ def predict_sliding(
                 chunk, NamedSharding(mesh, P(mesh.axis_names, None, None, None))
             )
         logits = apply_fn(chunk)
-        logits = resize_bilinear_align_corners(logits.astype(jnp.float32), (th, tw))
+        logits = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
+        logits = resize_bilinear_align_corners(logits, (th, tw), h_axis=2)
         # accumulate this chunk straight into the canvas — holding every
         # tile's full-res f32 logits at once costs ~n_tiles × 45 MB
         # (OOM-deciding inside the one-jit multi-scale+flip program)
         for j in range(min(step, n - s)):
             i_box, b = divmod(s + j, B)
             y1, x1, y2, x2 = boxes[i_box]
-            full = full.at[b, y1:y2, x1:x2, :].add(logits[j])
+            full = full.at[b, :, y1:y2, x1:x2].add(logits[j])
     for (y1, x1, y2, x2) in boxes:
-        count = count.at[:, y1:y2, x1:x2, :].add(1.0)
+        count = count.at[:, :, y1:y2, x1:x2].add(1.0)
     full = full / count
-    return full[:, :H, :W, :]
+    return full[:, :, :H, :W]
 
 
 def predict_whole(apply_fn: Callable, image: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """Whole-image forward, logits upsampled to input size (evaluate.py:145-153)."""
+    return jnp.transpose(_predict_whole_cf(apply_fn, image, num_classes),
+                         (0, 2, 3, 1))
+
+
+def _predict_whole_cf(apply_fn: Callable, image: jnp.ndarray,
+                      num_classes: int) -> jnp.ndarray:
     B, H, W, _ = image.shape
-    logits = apply_fn(image)
-    return resize_bilinear_align_corners(logits.astype(jnp.float32), (H, W))
+    logits = apply_fn(image)  # (B, h, w, C) OS-8 — small; transpose here
+    logits = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
+    return resize_bilinear_align_corners(logits, (H, W), h_axis=2)
 
 
 def predict_multiscale(
@@ -131,9 +164,13 @@ def predict_multiscale(
     input per scale, sliding (or whole) prediction, optional horizontal-flip
     average, mean over scales. Returns (B, H, W, C) averaged logits."""
     B, H, W, _ = image.shape
-    acc = jnp.zeros((B, H, W, num_classes), jnp.float32)
-    predict = predict_whole if whole else (
-        lambda fn, im, nc: predict_sliding(fn, im, tile_hw, nc, overlap, mesh=mesh)
+    # all full-resolution intermediates stay channels-first (see the canvas
+    # comment in _predict_sliding_cf — NHWC pads the 19-class lane dim ~6.7×
+    # and every add/resize over the canvas pays it); ONE transpose at return
+    acc = jnp.zeros((B, num_classes, H, W), jnp.float32)
+    predict = _predict_whole_cf if whole else (
+        lambda fn, im, nc: _predict_sliding_cf(fn, im, tile_hw, nc, overlap,
+                                               mesh=mesh)
     )
     for s in scales:
         # scipy.ndimage.zoom(order=1) semantics (reference evaluate.py:166):
@@ -142,15 +179,15 @@ def predict_multiscale(
         sh, sw = int(round(H * float(s))), int(round(W * float(s)))
         scaled = (resize_bilinear_align_corners(image, (sh, sw))
                   if (sh, sw) != (H, W) else image)
-        probs = predict(apply_fn, scaled, num_classes)
+        probs = predict(apply_fn, scaled, num_classes)  # (B, C, sh, sw)
         if flip:
             probs_f = predict(apply_fn, scaled[:, :, ::-1, :], num_classes)
-            probs = 0.5 * (probs + probs_f[:, :, ::-1, :])
+            probs = 0.5 * (probs + probs_f[:, :, :, ::-1])
         if (sh, sw) != (H, W):
             # the reference's scale≠1 accumulate is bit-rotted (shape mismatch,
             # never exercised — main() runs scales=[1.0]); resizing the scaled
             # probabilities back with the same align-corners convention is the
             # intended behaviour
-            probs = resize_bilinear_align_corners(probs, (H, W))
+            probs = resize_bilinear_align_corners(probs, (H, W), h_axis=2)
         acc = acc + probs
-    return acc / len(scales)
+    return jnp.transpose(acc / len(scales), (0, 2, 3, 1))
