@@ -62,53 +62,50 @@ def predict_sliding(
     return jnp.transpose(full, (0, 2, 3, 1))
 
 
-def _predict_sliding_cf(
-    apply_fn: Callable,
-    image: jnp.ndarray,
-    tile_hw: Tuple[int, int],
-    num_classes: int,
-    overlap: float = 1.0 / 3.0,
-    tiles_per_call: int = 8,
-    mesh=None,
-) -> jnp.ndarray:
-    """:func:`predict_sliding` returning CHANNELS-FIRST (B, C, H, W) —
-    the internal layout every full-resolution accumulation uses (see the
-    canvas comment below); multi-scale composes these without ever holding
-    an NHWC full-res tensor."""
+def _extract_tiles(image: jnp.ndarray, tile_hw: Tuple[int, int],
+                   overlap: float):
+    """Pad the image up to tile size if smaller (reference pad_image,
+    evaluate.py:95-100) and slice every overlapping tile.
+
+    Returns ``(tiles, boxes, (Hp, Wp))`` with ``tiles`` shaped
+    ``(n_boxes*B, th, tw, 3)``; tile ``t = box_index*B + batch_index``."""
     B, H, W, _ = image.shape
     th, tw = tile_hw
-    # pad image up to tile size if smaller (reference pad_image, evaluate.py:95-100)
     pad_h, pad_w = max(th - H, 0), max(tw - W, 0)
     if pad_h or pad_w:
         image = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     Hp, Wp = image.shape[1], image.shape[2]
     boxes = compute_tiles((Hp, Wp), (th, tw), overlap)
-
-    # The accumulation canvas is CHANNELS-FIRST: with NHWC the 19-class dim
-    # lands in the lane dimension of the canvas layout and XLA pads it toward
-    # 128 lanes — the 8 stitch dynamic-update-slices then ran ~15× off the
-    # HBM roofline (measured 5.6 ms each, ~45 ms/img of pure stitch). With
-    # (B, C, Hp, Wp) the updated dims (H, W) tile densely at (8, 128) and
-    # the whole stitch drops to ~5 ms/img. The per-tile logits are
-    # transposed while still small (OS-8, ~3 MB) before the upsample.
-    full = jnp.zeros((B, num_classes, Hp, Wp), jnp.float32)
-    count = jnp.zeros((1, 1, Hp, Wp), jnp.float32)
-
-    # batch the tiles through the network, B*len(boxes) at a time in chunks
     tiles = jnp.concatenate(
         [image[:, y1:y2, x1:x2, :] for (y1, x1, y2, x2) in boxes], axis=0
-    )  # (nb*B, th, tw, 3); tile t = box_index*B + batch_index
-    n = tiles.shape[0]
-    step = max(tiles_per_call, B)
+    )
+    return tiles, boxes, (Hp, Wp)
+
+
+def _forward_tiles_cf(apply_fn: Callable, tiles: jnp.ndarray,
+                      chunk_size: int, mesh=None) -> jnp.ndarray:
+    """All tiles through the network in fixed-size chunks, returning
+    CHANNELS-FIRST f32 OS-k logits ``(n, C, h, w)``.
+
+    The chunk loop is a ``lax.map``, so the network body is traced and
+    compiled ONCE no matter how many chunks run — the multi-scale+flip
+    program used to inline the full backbone per chunk per scale per flip
+    (up to ~48 copies at 3 scales + flip), which dominated its compile
+    time. Tiles are padded up to a whole number of chunks so every
+    iteration has one shape."""
+    n, th, tw, c = tiles.shape
+    step = chunk_size
     if mesh is not None:  # chunks must divide evenly over the mesh devices
         n_mesh = int(np.prod(list(mesh.shape.values())))
         step = -(-step // n_mesh) * n_mesh
-    for s in range(0, n, step):
-        chunk = tiles[s:s + step]
-        if chunk.shape[0] < step:  # pad to keep one compiled shape
-            chunk = jnp.concatenate(
-                [chunk, jnp.zeros((step - chunk.shape[0], th, tw, 3), chunk.dtype)], 0
-            )
+    K = -(-n // step)
+    pad = K * step - n
+    if pad:
+        tiles = jnp.concatenate(
+            [tiles, jnp.zeros((pad, th, tw, c), tiles.dtype)], 0
+        )
+
+    def body(chunk):
         if mesh is not None:
             # data-parallel eval: the tile batch shards across the mesh (the
             # reference sharded val IMAGES per rank and all-reduced the
@@ -120,19 +117,71 @@ def _predict_sliding_cf(
                 chunk, NamedSharding(mesh, P(mesh.axis_names, None, None, None))
             )
         logits = apply_fn(chunk)
-        logits = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
-        logits = resize_bilinear_align_corners(logits, (th, tw), h_axis=2)
-        # accumulate this chunk straight into the canvas — holding every
-        # tile's full-res f32 logits at once costs ~n_tiles × 45 MB
-        # (OOM-deciding inside the one-jit multi-scale+flip program)
-        for j in range(min(step, n - s)):
+        # transpose to channels-first while still small (OS-8, ~3 MB)
+        return jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
+
+    if K == 1:
+        out = body(tiles)[None]
+    else:
+        out = jax.lax.map(body, tiles.reshape(K, step, th, tw, c))
+    return out.reshape(K * step, *out.shape[2:])[:n]
+
+
+def _stitch_cf(logits: jnp.ndarray, boxes, B: int, num_classes: int,
+               padded_hw: Tuple[int, int], tile_hw: Tuple[int, int],
+               out_hw: Tuple[int, int], chunk_size: int) -> jnp.ndarray:
+    """Upsample per-tile OS-k logits to tile size and overlap-average them
+    into a full-resolution canvas; returns (B, C, H, W).
+
+    The accumulation canvas is CHANNELS-FIRST: with NHWC the 19-class dim
+    lands in the lane dimension of the canvas layout and XLA pads it toward
+    128 lanes — the 8 stitch dynamic-update-slices then ran ~15× off the
+    HBM roofline (measured 5.6 ms each, ~45 ms/img of pure stitch). With
+    (B, C, Hp, Wp) the updated dims (H, W) tile densely at (8, 128) and
+    the whole stitch drops to ~5 ms/img.
+
+    The upsample runs chunk-by-chunk: holding every tile's full-res f32
+    logits at once costs ~n_tiles × 45 MB (OOM-deciding inside the one-jit
+    multi-scale+flip program)."""
+    th, tw = tile_hw
+    Hp, Wp = padded_hw
+    H, W = out_hw
+    full = jnp.zeros((B, num_classes, Hp, Wp), jnp.float32)
+    count = jnp.zeros((1, 1, Hp, Wp), jnp.float32)
+    n = logits.shape[0]
+    for s in range(0, n, chunk_size):
+        lg = resize_bilinear_align_corners(
+            logits[s:s + chunk_size], (th, tw), h_axis=2
+        )
+        for j in range(min(chunk_size, n - s)):
             i_box, b = divmod(s + j, B)
             y1, x1, y2, x2 = boxes[i_box]
-            full = full.at[b, :, y1:y2, x1:x2].add(logits[j])
+            full = full.at[b, :, y1:y2, x1:x2].add(lg[j])
     for (y1, x1, y2, x2) in boxes:
         count = count.at[:, :, y1:y2, x1:x2].add(1.0)
     full = full / count
     return full[:, :, :H, :W]
+
+
+def _predict_sliding_cf(
+    apply_fn: Callable,
+    image: jnp.ndarray,
+    tile_hw: Tuple[int, int],
+    num_classes: int,
+    overlap: float = 1.0 / 3.0,
+    tiles_per_call: int = 8,
+    mesh=None,
+) -> jnp.ndarray:
+    """:func:`predict_sliding` returning CHANNELS-FIRST (B, C, H, W) —
+    the internal layout every full-resolution accumulation uses (see
+    :func:`_stitch_cf`); multi-scale composes these without ever holding
+    an NHWC full-res tensor."""
+    B, H, W, _ = image.shape
+    tiles, boxes, padded_hw = _extract_tiles(image, tile_hw, overlap)
+    step = max(tiles_per_call, B)
+    logits = _forward_tiles_cf(apply_fn, tiles, step, mesh)
+    return _stitch_cf(logits, boxes, B, num_classes, padded_hw, tile_hw,
+                      (H, W), step)
 
 
 def predict_whole(apply_fn: Callable, image: jnp.ndarray, num_classes: int) -> jnp.ndarray:
@@ -165,29 +214,67 @@ def predict_multiscale(
     average, mean over scales. Returns (B, H, W, C) averaged logits."""
     B, H, W, _ = image.shape
     # all full-resolution intermediates stay channels-first (see the canvas
-    # comment in _predict_sliding_cf — NHWC pads the 19-class lane dim ~6.7×
-    # and every add/resize over the canvas pays it); ONE transpose at return
+    # comment in _stitch_cf — NHWC pads the 19-class lane dim ~6.7× and
+    # every add/resize over the canvas pays it); ONE transpose at return
     acc = jnp.zeros((B, num_classes, H, W), jnp.float32)
-    predict = _predict_whole_cf if whole else (
-        lambda fn, im, nc: _predict_sliding_cf(fn, im, tile_hw, nc, overlap,
-                                               mesh=mesh)
-    )
-    for s in scales:
-        # scipy.ndimage.zoom(order=1) semantics (reference evaluate.py:166):
-        # out size = round(in·scale), align-corners coordinate mapping
-        # (verified: zoom's src grid is i·(in−1)/(out−1))
+
+    # scipy.ndimage.zoom(order=1) semantics (reference evaluate.py:166):
+    # out size = round(in·scale), align-corners coordinate mapping
+    # (verified: zoom's src grid is i·(in−1)/(out−1))
+    def _scaled(s):
         sh, sw = int(round(H * float(s))), int(round(W * float(s)))
-        scaled = (resize_bilinear_align_corners(image, (sh, sw))
-                  if (sh, sw) != (H, W) else image)
-        probs = predict(apply_fn, scaled, num_classes)  # (B, C, sh, sw)
+        return (resize_bilinear_align_corners(image, (sh, sw))
+                if (sh, sw) != (H, W) else image), (sh, sw)
+
+    if not whole:
+        # Collect the tiles of EVERY (scale, flip) pass and run them through
+        # ONE chunked forward (_forward_tiles_cf) — all tiles share the tile
+        # shape, so the network compiles once for the whole program instead
+        # of once per pass per chunk.
+        chunk = max(8, B)
+        flips = (False, True) if flip else (False,)
+        passes = []  # (scale_hw, flipped, boxes, padded_hw, n_tiles)
+        tile_list = []
+        for s in scales:
+            scaled, scale_hw = _scaled(s)
+            for f in flips:
+                im = scaled[:, :, ::-1, :] if f else scaled
+                tiles, boxes, padded_hw = _extract_tiles(im, tile_hw, overlap)
+                tile_list.append(tiles)
+                passes.append((scale_hw, f, boxes, padded_hw, tiles.shape[0]))
+        all_logits = _forward_tiles_cf(
+            apply_fn, jnp.concatenate(tile_list, axis=0), chunk, mesh
+        )
+        off = 0
+        probs_by_pass = []
+        for (sh, sw), f, boxes, padded_hw, n in passes:
+            p = _stitch_cf(all_logits[off:off + n], boxes, B, num_classes,
+                           padded_hw, tile_hw, (sh, sw), chunk)
+            off += n
+            probs_by_pass.append(p)
+        it = iter(probs_by_pass)
+        for s in scales:
+            probs = next(it)
+            if flip:
+                probs_f = next(it)
+                probs = 0.5 * (probs + probs_f[:, :, :, ::-1])
+            if probs.shape[2:] != (H, W):
+                # the reference's scale≠1 accumulate is bit-rotted (shape
+                # mismatch, never exercised — main() runs scales=[1.0]);
+                # resizing the scaled probabilities back with the same
+                # align-corners convention is the intended behaviour
+                probs = resize_bilinear_align_corners(probs, (H, W), h_axis=2)
+            acc = acc + probs
+        return jnp.transpose(acc / len(scales), (0, 2, 3, 1))
+
+    for s in scales:
+        scaled, (sh, sw) = _scaled(s)
+        probs = _predict_whole_cf(apply_fn, scaled, num_classes)  # (B, C, sh, sw)
         if flip:
-            probs_f = predict(apply_fn, scaled[:, :, ::-1, :], num_classes)
+            probs_f = _predict_whole_cf(apply_fn, scaled[:, :, ::-1, :],
+                                        num_classes)
             probs = 0.5 * (probs + probs_f[:, :, :, ::-1])
         if (sh, sw) != (H, W):
-            # the reference's scale≠1 accumulate is bit-rotted (shape mismatch,
-            # never exercised — main() runs scales=[1.0]); resizing the scaled
-            # probabilities back with the same align-corners convention is the
-            # intended behaviour
             probs = resize_bilinear_align_corners(probs, (H, W), h_axis=2)
         acc = acc + probs
     return jnp.transpose(acc / len(scales), (0, 2, 3, 1))
