@@ -184,3 +184,37 @@ def test_sliding_with_mesh_handles_non_dividing_tile_count():
     meshed = jax.jit(lambda im: predict_sliding(
         apply_fn, im, (32, 32), 5, tiles_per_call=3, mesh=mesh))(img)
     np.testing.assert_allclose(np.asarray(meshed), np.asarray(plain), atol=1e-5)
+
+
+def test_multiscale_program_instantiates_network_once():
+    """The MS+flip one-jit program must contain ONE traced instance of the
+    network (lax.map over tile chunks), not one per (scale, flip, chunk) —
+    compile time of the eval program regressed badly when it inlined the
+    backbone per pass. Count einsum/dot ops in the lowered HLO: the
+    multi-pass program may add resize matmuls (4 per stitch/resize-back)
+    but must not multiply the network body."""
+    rng = np.random.RandomState(7)
+    Wts = [jnp.asarray(rng.randn(6, 6).astype(np.float32)) for _ in range(20)]
+    Win = jnp.asarray(rng.randn(3, 6).astype(np.float32))
+
+    def apply_fn(x):  # 21 dots == the "network" body
+        x = jnp.einsum("bhwc,cd->bhwd", x, Win)
+        for Wt in Wts:
+            x = jnp.einsum("bhwc,cd->bhwd", x, Wt)
+        return x
+
+    img = jnp.asarray(rng.randn(1, 48, 80, 3).astype(np.float32))
+
+    def count_dots(fn):
+        txt = jax.jit(fn).lower(img).as_text()
+        return txt.count("dot_general") + txt.count(" dot(")
+
+    single = count_dots(lambda im: predict_multiscale(
+        apply_fn, im, (32, 32), 6, scales=(1.0,), flip=False))
+    multi = count_dots(lambda im: predict_multiscale(
+        apply_fn, im, (32, 32), 6, scales=(0.75, 1.0, 1.25), flip=True))
+    # 6 passes: re-inlining the 21-dot body per pass would add >= 105 dots;
+    # one lax.map instance adds only the per-pass resize matmuls (2 dots
+    # per resize, <= 4 resizes across the extra passes' scaling + resize-
+    # back). Anything above that slack is a body blowup.
+    assert multi <= single + 16, (single, multi)
