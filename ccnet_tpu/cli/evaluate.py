@@ -104,6 +104,13 @@ def main(argv=None):
         if not args.data_list:
             raise SystemExit("--data-list (VOC id list) is required for --dataset voc")
         dataset = VOCDataset(args.data_dir, args.data_list)
+        if args.batch_size != 1:
+            # VOC val images have per-image sizes — they cannot be stacked
+            # into one batch (and bucket-padding inside a batch would mix
+            # shapes per step anyway)
+            logger.warning("--dataset voc evaluates variable-size images; "
+                           f"forcing --batch-size {args.batch_size} -> 1")
+            args.batch_size = 1
     else:
         dataset = CityscapesDataset(args.data_dir, args.data_list, split=args.split)
     loader = DataLoader(dataset, args.batch_size, shuffle=False,

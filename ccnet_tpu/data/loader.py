@@ -410,7 +410,16 @@ def device_prefetch(iterator, place_fn, depth: int = 2):
 
     def producer():
         try:
-            for images, labels, names in iterator:
+            it = iter(iterator)
+            # check stop BEFORE pulling the next batch too: after a consumer
+            # abandons mid-epoch, pulling first would pay one more full
+            # decode + device transfer before noticing (multi-second on a
+            # tunneled link)
+            while not stop.is_set():
+                try:
+                    images, labels, names = next(it)
+                except StopIteration:
+                    return
                 if stop.is_set():
                     return
                 q.put((*place_fn(images, labels), names))

@@ -52,7 +52,13 @@ class Evaluator:
         # multiple of ``bucket`` bounds compilation to the number of distinct
         # buckets. Padding uses the dataset mean (zero after mean-subtract —
         # the reference's pad_image cval, evaluate.py:95-100) and predictions
-        # are cropped back, so scored pixels are unaffected.
+        # are cropped back. Note the crop removes the padded *outputs*, not
+        # the padding's influence: the network's receptive field near the
+        # right/bottom borders sees up to bucket-1 pixels of mean context
+        # that an unbucketed run would not (the same context the reference
+        # injects when it pads any image smaller than the crop). Set
+        # ``bucket=None`` for exact per-shape behaviour at per-shape
+        # compile cost.
         self.bucket = bucket
         self.palette = palette
         self.compiled_shapes: set = set()  # distinct jitted input shapes

@@ -73,8 +73,19 @@ def maybe_initialize_distributed(logger=None) -> bool:
     # "am I on a TPU?" pre-check here. A lone TPU VM, a tunneled plugin,
     # or a plain CPU box has no cluster metadata and raises immediately;
     # that is the single-process case.
+    #
+    # The auto attempt gets a BOUNDED rendezvous: a deliberately
+    # single-process run inside a cluster-scheduled allocation (e.g. one
+    # task of a SLURM job with SLURM_NTASKS=8) would otherwise block for
+    # jax's multi-minute default waiting on peers that never join. The
+    # explicit-coordinator path above keeps the default timeout — there
+    # the user asked for a cluster and slow peers are normal.
+    timeout_s = int(os.environ.get("CCNET_TPU_AUTO_INIT_TIMEOUT", "60"))
     try:
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize(initialization_timeout=timeout_s)
+        except TypeError:  # older jax without the kwarg
+            jax.distributed.initialize()
         _initialized = True
         if logger:
             logger.info(
