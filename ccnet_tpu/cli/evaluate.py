@@ -103,7 +103,7 @@ def main(argv=None):
     elif is_voc:
         if not args.data_list:
             raise SystemExit("--data-list (VOC id list) is required for --dataset voc")
-        dataset = VOCDataset(args.data_dir, args.data_list)
+        dataset = VOCDataset(args.data_dir, args.data_list, raw_dtype="uint8")
         if args.batch_size != 1:
             # VOC val images have per-image sizes — they cannot be stacked
             # into one batch (and bucket-padding inside a batch would mix
@@ -112,7 +112,10 @@ def main(argv=None):
                            f"forcing --batch-size {args.batch_size} -> 1")
             args.batch_size = 1
     else:
-        dataset = CityscapesDataset(args.data_dir, args.data_list, split=args.split)
+        # uint8 wire layout: the f32 widen + mean subtract happen inside the
+        # Evaluator's jit — 4× less host→device traffic per image
+        dataset = CityscapesDataset(args.data_dir, args.data_list,
+                                    split=args.split, raw_dtype="uint8")
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
                         num_workers=args.num_workers, drop_last=False)
 

@@ -25,9 +25,10 @@ VOC_CLASS_NAMES = (
 
 class VOCDataset:
     def __init__(self, root: str, list_path: str, max_iters: Optional[int] = None,
-                 with_labels: bool = True):
+                 with_labels: bool = True, raw_dtype: str = "float32"):
         self.root = root
         self.with_labels = with_labels
+        self.raw_dtype = raw_dtype  # 'uint8' keeps the wire-minimal layout
         ids = [l.strip() for l in open(list_path) if l.strip()]
         if max_iters is not None:
             ids = ids * int(np.ceil(max_iters / len(ids)))
@@ -46,7 +47,6 @@ class VOCDataset:
         image = cv2.imread(osp.join(self.root, f"JPEGImages/{name}.jpg"), cv2.IMREAD_COLOR)
         if image is None:
             raise IOError(f"failed to read VOC image {name}")
-        image = image.astype(np.float32)
         if self.with_labels:
             label = cv2.imread(
                 osp.join(self.root, f"SegmentationClassAug/{name}.png"), cv2.IMREAD_GRAYSCALE
@@ -55,4 +55,6 @@ class VOCDataset:
                 raise IOError(f"failed to read VOC label {name}")
         else:
             label = np.full(image.shape[:2], 255, np.uint8)
-        return image, label.astype(np.int32), name
+        if self.raw_dtype == "uint8":
+            return image, label, name
+        return image.astype(np.float32), label.astype(np.int32), name

@@ -70,7 +70,10 @@ class Evaluator:
         import jax
 
         def _pipeline(images):
-            x = images - jnp.asarray(self.mean)
+            # f32 widen happens ON DEVICE: callers may ship raw uint8 BGR
+            # (4× less host→device wire than f32 — decisive on tunneled
+            # links, still free PCIe on a production host)
+            x = images.astype(jnp.float32) - jnp.asarray(self.mean)
             logits = predict_multiscale(
                 self.apply_fn, x, self.tile_hw, self.num_classes,
                 scales=self.scales, flip=self.flip, whole=self.whole,
@@ -80,20 +83,34 @@ class Evaluator:
 
         self._predict = jax.jit(_pipeline)
 
-    def predict_batch(self, images: np.ndarray) -> np.ndarray:
-        """Raw BGR f32 images (B, H, W, 3) → predicted trainIds (B, H, W)."""
-        images = np.asarray(images, np.float32)
+    def place(self, images: np.ndarray, labels=None):
+        """Bucket-pad on host and place on device (u8 or f32 passthrough).
+
+        Returns ``(dev_images, dev_labels_or_None, (H, W))`` — the original
+        spatial size for cropping predictions back."""
+        images = np.asarray(images)
         B, H, W = images.shape[0], images.shape[1], images.shape[2]
         if self.bucket:
             Hp = -(-H // self.bucket) * self.bucket
             Wp = -(-W // self.bucket) * self.bucket
             if (Hp, Wp) != (H, W):
-                padded = np.empty((B, Hp, Wp, 3), np.float32)
-                padded[...] = self.mean  # zero after the pipeline's subtract
+                padded = np.empty((B, Hp, Wp, 3), images.dtype)
+                # zero after the pipeline's subtract (for uint8 the mean
+                # rounds to the nearest representable value — a <0.5 LSB
+                # difference confined to padding context)
+                padded[...] = (np.round(self.mean).astype(images.dtype)
+                               if images.dtype != np.float32 else self.mean)
                 padded[:, :H, :W] = images
                 images = padded
-        self.compiled_shapes.add(images.shape)
-        return np.asarray(self._predict(jnp.asarray(images)))[:, :H, :W]
+        dev = jnp.asarray(images)
+        devl = jnp.asarray(labels) if labels is not None else None
+        return dev, devl, (H, W)
+
+    def predict_batch(self, images: np.ndarray) -> np.ndarray:
+        """Raw BGR images (B, H, W, 3), f32 or uint8 → trainIds (B, H, W)."""
+        dev, _, (H, W) = self.place(images)
+        self.compiled_shapes.add(tuple(dev.shape))
+        return np.asarray(self._predict(dev))[:, :H, :W]
 
     def run(self, loader, output_dir: Optional[str] = None, save_preds: bool = False,
             log_every: int = 10, logger=None) -> dict:
@@ -102,10 +119,21 @@ class Evaluator:
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
         n_done = 0
-        for images, labels, names in loader:
-            preds = self.predict_batch(images)
-            acc.update(jnp.asarray(labels), jnp.asarray(preds.astype(np.int32)))
+        # Overlap decode + host→device transfer of batch i+1 with the device
+        # compute of batch i (the reference got the decode half of this from
+        # DataLoader workers; the transfer half it paid serially per tile).
+        from ccnet_tpu.data.loader import device_prefetch
+
+        it = device_prefetch(iter(loader),
+                             lambda im, lb: self.place(im, lb), depth=2)
+        for dev_images, dev_labels, (H, W), names in it:
+            self.compiled_shapes.add(tuple(dev_images.shape))
+            preds_dev = self._predict(dev_images)[:, :H, :W]
+            # confusion accumulates ON DEVICE from the device preds/labels —
+            # predictions only cross the wire when PNGs are requested
+            acc.update(dev_labels, preds_dev)
             if save_preds and output_dir:
+                preds = np.asarray(preds_dev)
                 for p, name in zip(preds, names):
                     save_indexed_png(osp.join(output_dir, f"{name}.png"), p, palette)
             n_done += len(names)

@@ -18,8 +18,10 @@ import numpy as np
 
 def confusion_matrix(labels, preds, num_classes: int, ignore_label: int = 255):
     """(C, C) confusion matrix [gt, pred] over non-ignored pixels (jnp)."""
-    labels = labels.reshape(-1)
-    preds = preds.reshape(-1)
+    # int32 BEFORE the index arithmetic: uint8 labels (the wire-minimal
+    # eval path) would overflow labels * num_classes + preds
+    labels = labels.reshape(-1).astype(jnp.int32)
+    preds = preds.reshape(-1).astype(jnp.int32)
     valid = labels != ignore_label
     idx = jnp.where(valid, labels * num_classes + preds, num_classes * num_classes)
     counts = jnp.bincount(idx, length=num_classes * num_classes + 1)

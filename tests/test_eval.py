@@ -218,3 +218,55 @@ def test_multiscale_program_instantiates_network_once():
     # per resize, <= 4 resizes across the extra passes' scaling + resize-
     # back). Anything above that slack is a body blowup.
     assert multi <= single + 16, (single, multi)
+
+
+def test_evaluator_uint8_wire_matches_f32(tmp_path):
+    """Raw uint8 BGR images shipped over the wire (f32 widen + mean subtract
+    inside the jit) must predict and score identically to f32 images, through
+    both predict_batch and the prefetched run() path (incl. on-device
+    confusion from uint8 labels — the int32 cast before the bincount index
+    arithmetic)."""
+    rng = np.random.RandomState(11)
+    img_u8 = rng.randint(0, 256, size=(1, 70, 100, 3)).astype(np.uint8)
+    lbl = rng.randint(0, 3, size=(1, 70, 100)).astype(np.uint8)
+    lbl[0, :5, :5] = 255  # ignore region exercises the 255-in-uint8 path
+
+    Wt = jnp.asarray(rng.randn(3, 3).astype(np.float32))
+
+    def apply_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)[:, ::8, ::8, :]
+
+    mean = (104.007, 116.669, 122.679)
+    ev = Evaluator(apply_fn, num_classes=3, tile_hw=(65, 65), mean=mean)
+    p_u8 = ev.predict_batch(img_u8)
+    p_f32 = ev.predict_batch(img_u8.astype(np.float32))
+    np.testing.assert_array_equal(p_u8, p_f32)
+
+    class DS:
+        def __iter__(self):
+            yield img_u8, lbl, ["im0"]
+
+    res = ev.run(DS(), output_dir=str(tmp_path), save_preds=True)
+    # score the same predictions on host as the oracle
+    got = np.asarray(res["confusion"])
+    valid = lbl != 255
+    want = np.zeros((3, 3), np.int64)
+    np.add.at(want, (lbl[valid].astype(np.int64), p_u8[valid].astype(np.int64)), 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_evaluator_bucket_uint8(tmp_path):
+    """Pad-to-bucket with uint8 inputs: padding rounds the mean to uint8 and
+    predictions crop back to the original size."""
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, size=(1, 70, 100, 3)).astype(np.uint8)
+    Wt = jnp.asarray(rng.randn(3, 4).astype(np.float32))
+
+    def apply_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)[:, ::8, ::8, :]
+
+    ev = Evaluator(apply_fn, num_classes=4, tile_hw=(65, 65),
+                   mean=(104.007, 116.669, 122.679), bucket=64)
+    p = ev.predict_batch(img)
+    assert p.shape == (1, 70, 100)
+    assert len(ev.compiled_shapes) == 1 and (1, 128, 128, 3) in ev.compiled_shapes
