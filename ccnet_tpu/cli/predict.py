@@ -68,7 +68,8 @@ def main(argv=None):
 
     evaluator = Evaluator(apply_fn, num_classes=args.num_classes,
                           tile_hw=(h, w), flip=args.flip, whole=args.whole)
-    dataset = CityscapesDataset(args.data_dir, args.data_list, split=args.split)
+    dataset = CityscapesDataset(args.data_dir, args.data_list,
+                                split=args.split, raw_dtype="uint8")
     loader = DataLoader(dataset, 1, shuffle=False, num_workers=4, drop_last=False)
 
     os.makedirs(args.output_dir, exist_ok=True)
