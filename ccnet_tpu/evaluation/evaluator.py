@@ -126,22 +126,36 @@ class Evaluator:
 
         it = device_prefetch(iter(loader),
                              lambda im, lb: self.place(im, lb), depth=2)
-        for dev_images, dev_labels, (H, W), names in it:
-            self.compiled_shapes.add(tuple(dev_images.shape))
-            preds_dev = self._predict(dev_images)[:, :H, :W]
-            # confusion accumulates ON DEVICE from the device preds/labels —
-            # predictions only cross the wire when PNGs are requested
-            acc.update(dev_labels, preds_dev)
-            if save_preds and output_dir:
-                preds = np.asarray(preds_dev)
-                for p, name in zip(preds, names):
-                    save_indexed_png(osp.join(output_dir, f"{name}.png"), p, palette)
-            n_done += len(names)
-            if logger and n_done % log_every < len(names):
-                # process-local running estimate (no collective mid-loop:
-                # processes reach this point at different times)
-                _, miou = acc.result(cross_process=False)
-                logger.info(f"eval {n_done} images, running meanIU {miou:.4f}")
+        # PNG encodes (~100 ms/img of host work) run on a writer thread so
+        # they overlap the next batch's device compute; errors surface at
+        # the end of the loop
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = []
+        with ThreadPoolExecutor(max_workers=1) as writer:
+            for dev_images, dev_labels, (H, W), names in it:
+                self.compiled_shapes.add(tuple(dev_images.shape))
+                preds_dev = self._predict(dev_images)[:, :H, :W]
+                # confusion accumulates ON DEVICE from the device preds/
+                # labels — predictions only cross the wire when PNGs are
+                # requested
+                acc.update(dev_labels, preds_dev)
+                if save_preds and output_dir:
+                    preds = np.asarray(preds_dev)
+                    for p, name in zip(preds, names):
+                        writes.append(writer.submit(
+                            save_indexed_png,
+                            osp.join(output_dir, f"{name}.png"), p, palette))
+                n_done += len(names)
+                if logger and n_done % log_every < len(names):
+                    # process-local running estimate (no collective
+                    # mid-loop: processes reach this point at different
+                    # times)
+                    _, miou = acc.result(cross_process=False)
+                    logger.info(
+                        f"eval {n_done} images, running meanIU {miou:.4f}")
+        for w in writes:
+            w.result()  # re-raise any PNG write failure
         # one cross-process sum at the end, like the reference's single NCCL
         # all-reduce of the confusion matrix (evaluate.py:267-268)
         cm = acc.global_matrix()
