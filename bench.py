@@ -19,9 +19,17 @@ that depends on the whole computation chain.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def _mark(msg):
+    """Per-leg progress on stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 TITAN_XP_TRAIN_CROPS_PER_SEC_PER_CHIP = 0.55
 TITAN_XP_EVAL_TILES_PER_SEC_PER_CHIP = 1.65
@@ -284,13 +292,19 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    _mark("train leg: compile + 10 steps")
     train_cps, step_s, loss, model, variables, step, state = bench_train(jax, jnp)
+    _mark(f"train done ({train_cps:.2f} crops/s); eval sliding leg")
     eval_s_img, eval_tps, n_tiles = bench_eval(jax, jnp, model, variables)
+    _mark(f"eval done ({eval_s_img:.3f} s/img); msflip leg")
     msflip_s = bench_eval_msflip(jax, jnp, model, variables)
+    _mark(f"msflip done ({msflip_s:.3f} s/img); cca kernel leg")
     cca = bench_cca_kernel(jax, jnp)
+    _mark(f"cca done ({cca}); e2e input-path leg")
     # last: the train step DONATES its state argument, freeing the buffers
     # `variables` aliases — nothing may touch them afterwards
     e2e = bench_train_e2e(jax, jnp, step, state)
+    _mark("e2e done")
 
     result = {
         "metric": "ccnet_r101_R2_train_769_crops_per_sec_per_chip",
