@@ -39,6 +39,23 @@ def _upsample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def fused_nll_enabled() -> bool:
+    """Whether the fused upsample+CE kernel route is taken.
+
+    ``CCNET_TPU_FUSED_NLL``: ``auto`` (default — fused on TPU only), ``1``
+    (force the ``upsampled_nll`` route even off-TPU: the kernel runs in
+    interpreter mode and, under a multi-device jit, through its batch-dim
+    ``custom_partitioning`` wrapper — how the driver's CPU-mesh dryrun
+    proves the partitioned criterion path), or ``0`` (force plain jnp).
+    """
+    import os
+
+    mode = os.environ.get("CCNET_TPU_FUSED_NLL", "auto").lower()
+    if mode in ("auto", ""):
+        return is_tpu_backend()
+    return mode not in ("0", "false", "off")
+
+
 def _nll(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W) f32 per-pixel NLL of the upsampled logits.
 
@@ -52,7 +69,7 @@ def _nll(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     H, W = labels.shape[1], labels.shape[2]
     rh = integer_upsample_ratio(h, H)
     if (rh is not None and rh == integer_upsample_ratio(w, W)
-            and is_tpu_backend()):
+            and fused_nll_enabled()):
         return upsampled_nll(logits.astype(jnp.float32), labels)
     return upsampled_nll_reference(logits, labels)
 
