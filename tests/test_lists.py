@@ -90,3 +90,100 @@ def test_voc_list_generation(tmp_path):
     assert counts == {"val.txt": 3, "train_aug.txt": 5}
     assert open(osp.join(out, "train_aug.txt")).read().splitlines() == ids[:5]
     assert open(osp.join(out, "val.txt")).read().splitlines() == ids[5:]
+
+
+# ------------------------------------------------------------------------
+# The reference's SHIPPED manifests as fixtures (/root/reference/dataset/
+# list/) — the generator's recipe and our reader are checked against the
+# actual files, not just their documented structure.
+
+REF_LISTS = "/root/reference/dataset/list/cityscapes"
+
+import pytest
+
+pytestmark_ref = pytest.mark.skipif(
+    not osp.isdir(REF_LISTS), reason="reference checkout not present")
+
+
+def _ref_lines(name):
+    return open(osp.join(REF_LISTS, name)).read().splitlines()
+
+
+@pytestmark_ref
+def test_shipped_lists_structure():
+    """Counts, tab separator, path shape, label derivation and section
+    composition of the reference's shipped .lst files (consumed at
+    dataset/datasets.py:129-133)."""
+    train, val, test = _ref_lines("train.lst"), _ref_lines("val.lst"), _ref_lines("test.lst")
+    trainval, plus, plusplus = (_ref_lines("trainval.lst"),
+                                _ref_lines("train+.lst"), _ref_lines("train++.lst"))
+    assert (len(train), len(val), len(test)) == (2975, 500, 1525)
+    assert (len(trainval), len(plus), len(plusplus)) == (3475, 22973, 23473)
+
+    # composition: trainval = train ++ val; train+ = train ++ extra(gtCoarse);
+    # train++ = train+ ++ val — exactly the recipe lists.py regenerates
+    assert trainval == train + val
+    assert plus[:2975] == train
+    assert plusplus == plus + val
+
+    for line in train + val + plus[2975:]:
+        img, lbl = line.split("\t")  # exactly one tab
+        gt = "gtCoarse" if "/train_extra/" in img else "gtFine"
+        expect = img.replace("leftImg8bit/", f"{gt}/", 1).replace(
+            "_leftImg8bit.png", f"_{gt}_labelIds.png")
+        assert lbl == expect, line
+    assert all("\t" not in l and l.endswith("_leftImg8bit.png") for l in test)
+
+    # each section is lexicographically sorted (the generator's ordering)
+    for section in (train, val, test, plus[2975:]):
+        assert section == sorted(section)
+
+
+@pytestmark_ref
+def test_generator_reproduces_shipped_lists_byte_for_byte(tmp_path):
+    """Touch a synthetic tree holding the first K images of each shipped
+    section; the generated .lst files must equal the corresponding shipped
+    lines byte-for-byte (same derivation, ordering, separators, newlines)."""
+    K = 5
+    train, val, test = _ref_lines("train.lst"), _ref_lines("val.lst"), _ref_lines("test.lst")
+    extra = _ref_lines("train+.lst")[2975:]
+
+    root, out = str(tmp_path / "cs"), str(tmp_path / "lists")
+    for line in train[:K] + val[:K] + extra[:K]:
+        _touch(osp.join(root, line.split("\t")[0]))
+    for line in test[:K]:
+        _touch(osp.join(root, line))
+    generate_cityscapes_lists(root, out)
+
+    def _gen(name):
+        return open(osp.join(out, name)).read()
+
+    def _join(lines):
+        return "\n".join(lines) + "\n"
+
+    assert _gen("train.lst") == _join(train[:K])
+    assert _gen("val.lst") == _join(val[:K])
+    assert _gen("test.lst") == _join(test[:K])
+    assert _gen("trainval.lst") == _join(train[:K] + val[:K])
+    assert _gen("train+.lst") == _join(train[:K] + extra[:K])
+    assert _gen("train++.lst") == _join(train[:K] + extra[:K] + val[:K])
+
+
+@pytestmark_ref
+def test_reader_parses_shipped_lists():
+    """Our CityscapesDataset consumes the actual shipped manifests (path
+    join semantics of dataset/datasets.py:129-133: lines are relative to
+    root; test split has image-only lines)."""
+    val = CityscapesDataset("/data/cs", list_path=osp.join(REF_LISTS, "val.lst"))
+    assert len(val) == 500
+    img0, lbl0 = val.items[0]
+    assert img0 == "/data/cs/leftImg8bit/val/frankfurt/frankfurt_000000_000294_leftImg8bit.png"
+    assert lbl0 == "/data/cs/gtFine/val/frankfurt/frankfurt_000000_000294_gtFine_labelIds.png"
+
+    test = CityscapesDataset("/data/cs", list_path=osp.join(REF_LISTS, "test.lst"))
+    assert len(test) == 1525 and all(lbl is None for _, lbl in test.items)
+
+    # max_iters replication semantics (datasets.py:132-133): ceil-replicate
+    rep = CityscapesDataset("/data/cs", list_path=osp.join(REF_LISTS, "val.lst"),
+                            max_iters=1200)
+    assert len(rep) == 1500 and rep.items[500] == rep.items[0]
