@@ -12,12 +12,17 @@ Shuffling matches DistributedSampler's epoch-seeded permutation idea:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
+
+from ccnet_tpu.utils.logging import get_logger
+
+logger = get_logger("ccnet_tpu.data")
 
 
 def _epoch_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
@@ -223,6 +228,17 @@ class U8CropDataset:
         return imgs[0], lbls[0]
 
 
+def _default_cache_bytes() -> int:
+    """Byte budget from ``CCNET_TPU_CACHE_GB`` (default 8 GB).
+
+    Full Cityscapes train in uint8 is ~25 GB of host RAM — an unbounded
+    cache is only safe advice on large hosts, so the default bounds it and
+    the env var raises/lowers the budget (0 disables the cap).
+    """
+    gb = float(os.environ.get("CCNET_TPU_CACHE_GB", "8"))
+    return int(gb * (1 << 30))
+
+
 class CachedDataset:
     """Decode-once RAM cache around any (image, label, name) dataset.
 
@@ -232,18 +248,38 @@ class CachedDataset:
     reference ``train.py:112``). Pair with ``raw_dtype='uint8'`` so the
     cache holds ~8 MB/sample instead of 32 MB. Thread-safe for the loader's
     worker pool (dict writes are atomic; a racing double-decode is benign).
+
+    Bounded by ``max_bytes`` (default: the ``CCNET_TPU_CACHE_GB`` budget,
+    8 GB) and/or ``max_items``; once a cap is hit further samples are served
+    uncached (decode-per-epoch, reference behaviour) and the truncation is
+    logged once.
     """
 
-    def __init__(self, dataset, max_items: Optional[int] = None):
+    def __init__(self, dataset, max_items: Optional[int] = None,
+                 max_bytes: Optional[int] = None):
         self.dataset = dataset
         self.max_items = max_items
+        self.max_bytes = _default_cache_bytes() if max_bytes is None else max_bytes
         self._cache: dict = {}
+        self._bytes = 0
+        self._warned_full = False
 
     def __len__(self):
         return len(self.dataset)
 
     def name(self, index: int) -> str:
         return self.dataset.name(index)
+
+    @staticmethod
+    def _item_bytes(item) -> int:
+        return sum(int(a.nbytes) for a in item if hasattr(a, "nbytes"))
+
+    def _has_room(self, nbytes: int) -> bool:
+        if self.max_items is not None and len(self._cache) >= self.max_items:
+            return False
+        if self.max_bytes and self._bytes + nbytes > self.max_bytes:
+            return False
+        return True
 
     def __getitem__(self, index: int):
         # key by sample NAME, not index: ``max_iters``-style epoch tiling
@@ -255,8 +291,19 @@ class CachedDataset:
         if hit is not None:
             return hit
         item = self.dataset[index]
-        if self.max_items is None or len(self._cache) < self.max_items:
+        nbytes = self._item_bytes(item)
+        if self._has_room(nbytes):
             self._cache[key] = item
+            self._bytes += nbytes
+        elif not self._warned_full:
+            self._warned_full = True
+            logger.warning(
+                f"decoded-sample cache full after {len(self._cache)} samples "
+                f"({self._bytes / 2**30:.1f} GB; caps: max_bytes="
+                f"{self.max_bytes}, max_items={self.max_items}) — further "
+                f"samples decode per epoch. Raise CCNET_TPU_CACHE_GB "
+                f"(0 = unbounded) to cache the full set."
+            )
         return item
 
 

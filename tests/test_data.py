@@ -313,6 +313,48 @@ def test_cached_dataset_keys_by_name_across_epoch_tiling():
     assert inner.decodes == 3  # one decode per unique file, not per index
 
 
+def test_cached_dataset_byte_budget_bounds_residency():
+    """The cache stops admitting once the byte budget is hit (full
+    Cityscapes in uint8 is ~25 GB — unbounded residency is unsafe on small
+    hosts); beyond-budget samples decode per access, values unchanged."""
+    from ccnet_tpu.data import CachedDataset
+
+    class Counting:
+        def __init__(self):
+            self.decodes = 0
+        def __len__(self):
+            return 4
+        def name(self, i):
+            return f"file_{i}"
+        def __getitem__(self, i):
+            self.decodes += 1
+            return (np.full((8, 8, 3), i, np.uint8),
+                    np.full((8, 8), i, np.uint8), self.name(i))
+
+    per_item = 8 * 8 * 3 + 8 * 8  # 256 B
+    inner = Counting()
+    ds = CachedDataset(inner, max_bytes=2 * per_item)
+    for _ in range(2):
+        for i in range(4):
+            img, lbl, _ = ds[i]
+            assert img[0, 0, 0] == i and lbl[0, 0] == i
+    # first two samples cached (1 decode each), last two re-decoded per epoch
+    assert inner.decodes == 2 + 2 * 2
+    assert ds._bytes == 2 * per_item
+
+    # default budget comes from CCNET_TPU_CACHE_GB
+    import os
+    old = os.environ.get("CCNET_TPU_CACHE_GB")
+    os.environ["CCNET_TPU_CACHE_GB"] = "2"
+    try:
+        assert CachedDataset(inner).max_bytes == 2 << 30
+    finally:
+        if old is None:
+            os.environ.pop("CCNET_TPU_CACHE_GB")
+        else:
+            os.environ["CCNET_TPU_CACHE_GB"] = old
+
+
 def test_u8_crop_dataset_native_engine_matches_cv2():
     """The native (C++/OpenMP crop-window) engine must draw the SAME
     geometry as the cv2 engine from one rng stream (labels exactly equal —
