@@ -32,15 +32,15 @@ from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
 
 # 'auto' switches to the fused Pallas kernel once the attended-axis length
 # H+W reaches this — set from the measured v5e jnp-vs-kernel crossover
-# (scripts/bench_cca.py, 2026-08-17; full table in PARITY.md). The kernel's
-# fixed grid/DMA overhead is amortised by O(N²) MXU work per attended line,
-# so the crossover tracks N = max(H, W), not batch or footprint: at the 97²
-# crop (H+W = 194) jnp wins fwd+bwd 4.7 vs 6.6 ms; at every measured shape
-# with H+W ≥ 386 the kernel ties or wins (129×257 whole-image: 3.3 vs
-# 4.3 ms; 513²: 28.7 vs 40.8; 769²: 50.7 vs 105.3 — where the jnp path also
-# writes 3.6 GB of HBM affinity temps per image that the kernel never
-# materialises).
-_CCA_PALLAS_MIN_AXIS_SUM = 384
+# (scripts/bench_cca.py, 2026-08-18; full table in PARITY.md). The fused
+# natural-layout kernels (zero XLA transposes, in-kernel joint-softmax
+# combine, single-HBM-round-trip gradients) win at the flagship 97² training
+# crop: fwd 2.43 vs 3.17 ms, fwd+bwd 4.29 vs 4.58 ms (8, 97, 97, 64/512
+# bf16), and the margin grows with N (513²: 28.7 vs 38.3 fwd+bwd; 769²:
+# 49.2 vs 103.4 — where the jnp path also writes 3.6 GB of HBM affinity
+# temps per image that the kernel never materialises). Below 97 lines the
+# kernel is unmeasured, so the jnp route keeps those shapes.
+_CCA_PALLAS_MIN_AXIS_SUM = 194
 
 
 def choose_cca_impl(batch: int, height: int, width: int) -> str:

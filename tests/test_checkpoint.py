@@ -27,6 +27,7 @@ def tiny_vars(cls, **kw):
     return model, model.init(jax.random.PRNGKey(0), x, train=False)
 
 
+@pytest.mark.slow
 def test_torch_key_names_ccnet():
     _, variables = tiny_vars(CCNet, impl="jnp")
     sd = variables_to_torch_state_dict(variables)
@@ -51,6 +52,7 @@ def test_torch_key_names_ccnet():
     assert len(sd) == n_leaves
 
 
+@pytest.mark.slow
 def test_torch_key_names_psp_and_aspp():
     _, v_psp = tiny_vars(PSPNet)
     sd = variables_to_torch_state_dict(v_psp)
@@ -160,6 +162,7 @@ def test_bottleneck_numerics_match_torch(stride, dilation):
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_orbax_full_state_roundtrip(tmp_path):
     from ccnet_tpu.train import create_train_state, make_optimizer
 

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full CLI train/eval runs (~5 min total)
+
 
 def test_train_cli_synthetic_and_resume(tmp_path):
     from ccnet_tpu.cli.train import main

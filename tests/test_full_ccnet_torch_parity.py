@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from ccnet_tpu.models import CCNet
 from ccnet_tpu.utils.checkpoint import flax_path_to_torch_key, save_pth
 
+pytestmark = pytest.mark.slow  # full-depth R101 forward vs torch oracle
+
 torch = pytest.importorskip("torch")
 F = torch.nn.functional
 Conv2d = torch.nn.Conv2d

@@ -74,6 +74,7 @@ def test_registry_resnet101_param_count():
 
 
 @pytest.mark.parametrize("mode", [True, "conv12", "convs"])
+@pytest.mark.slow
 def test_remat_modes_match_no_remat_gradients(mode):
     """Every remat mode is a pure scheduling choice: loss AND gradients must
     be bit-comparable to the no-remat forward/backward."""
@@ -116,7 +117,8 @@ def test_choose_cca_impl_crossover(monkeypatch):
     assert choose_cca_impl(1, 769, 769) == "jnp"  # off-TPU: always jnp
 
     monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: True)
-    assert choose_cca_impl(8, 97, 97) == "jnp"        # train crop: jnp wins
+    assert choose_cca_impl(8, 97, 97) == "pallas"     # train crop: kernel wins
+    assert choose_cca_impl(1, 65, 65) == "jnp"        # below the measured zone
     assert choose_cca_impl(1, 129, 257) == "pallas"   # whole-image eval
     assert choose_cca_impl(8, 129, 257) == "pallas"   # batch-independent
     assert choose_cca_impl(1, 257, 257) == "pallas"

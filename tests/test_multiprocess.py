@@ -22,6 +22,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # spawns 2 real jax.distributed processes
+
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_mp_worker.py")
 

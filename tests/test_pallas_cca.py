@@ -89,8 +89,11 @@ def test_large_n_small_tile_stats4():
     match the jnp oracle (row path N=441 -> T<8; column path N=9 -> T=16,
     so both layouts run in one call)."""
     q, k, v = case(9, 1, 9, 441, 4, 8)
-    from ccnet_tpu.ops.cc_attention_pallas import _pick_tile
-    assert _pick_tile(441, 4, 8, 4, bwd=False) < 8  # the premise of the test
+    from ccnet_tpu.ops.cc_attention_pallas import _legacy_pick_tile, _pick_tile
+    # the premise: N=441 highest-precision forces the legacy transposed route
+    # (natural tile < 8) AND the legacy picker lands below 8 lines -> stats4
+    assert _pick_tile(441, 4, 8, 4, 4, "fwd_row", highp=True) < 8
+    assert _legacy_pick_tile(441, 4, 8, 4, bwd=False, highp=True) < 8
 
     want = np.asarray(cca_jnp(q, k, v))
     got = np.asarray(cca_pl(q, k, v, interpret=True, precision="highest",

@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end submission PNG pipeline
+
 cv2 = pytest.importorskip("cv2")
 
 

@@ -78,6 +78,7 @@ def _copy_bn(mod, ptree, stree):
 
 
 @pytest.mark.parametrize("R", [1, 2])
+@pytest.mark.slow
 def test_rcca_forward_backward_matches_torch(R):
     rng = np.random.RandomState(0)
     cin, cout, classes = 32, 16, 5

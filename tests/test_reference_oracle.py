@@ -418,6 +418,7 @@ def _assert_model_parity(model, variables, tm, x):
                                atol=2e-4 * scale)
 
 
+@pytest.mark.slow
 def test_seg_model_small_vs_reference_source(ref):
     """Reference-authored ResNet/RCCA classes as the oracle (layers 2,2,2,2):
     our .pth export strict-loads and eval logits match."""
@@ -427,6 +428,7 @@ def test_seg_model_small_vs_reference_source(ref):
     _assert_model_parity(model, variables, tm, x)
 
 
+@pytest.mark.slow
 @pytest.mark.slow
 def test_seg_model_full_r101_vs_reference_source(ref):
     """The actual `Seg_Model` (ResNet-101, networks/ccnet.py:194-200) as the

@@ -39,6 +39,8 @@ F = torch.nn.functional
 
 from test_full_ccnet_torch_parity import TorchCCNet  # noqa: E402
 
+pytestmark = pytest.mark.slow  # long lockstep optimizer dynamics vs torch
+
 CLASSES, LAYERS, R = 5, (1, 1, 1, 1), 2
 HW = 33  # OS-8 logits 5x5, ratio (33-1)/(5-1) = 8
 BATCH = 2

@@ -36,6 +36,7 @@ def test_poly_schedule():
     assert abs(float(s(30000)) - 1e-2 * 0.5 ** 0.9) < 1e-9
 
 
+@pytest.mark.slow
 def test_mesh_step_matches_single_device():
     assert len(jax.devices()) == 8
     model = tiny_model()
@@ -67,6 +68,7 @@ def test_mesh_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_loss_decreases_over_steps():
     model = tiny_model()
     tx = make_optimizer(base_lr=1e-2, max_steps=50, weight_decay=1e-4)
@@ -83,6 +85,7 @@ def test_loss_decreases_over_steps():
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow
 def test_spatially_sharded_forward_matches_single_device():
     """Whole-image eval with image HEIGHT over the `space` axis (SURVEY §5.7:
     XLA partitions the convs with halo exchange and all-gathers the

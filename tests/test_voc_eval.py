@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end VOC evaluate CLI
+
 
 def _make_voc_tree(tmp_path, names_sizes):
     cv2 = pytest.importorskip("cv2")
