@@ -57,9 +57,10 @@ def predict_sliding(
     *probabilities* averaged over overlapping tiles (reference semantics:
     logits are accumulated pre-softmax in the reference — it averages raw
     upsampled logits; we do the same and return averaged logits)."""
+    B, H, W, _ = image.shape
     full = _predict_sliding_cf(apply_fn, image, tile_hw, num_classes,
                                overlap, tiles_per_call, mesh)
-    return jnp.transpose(full, (0, 2, 3, 1))
+    return jnp.transpose(full.reshape(B, num_classes, H, W), (0, 2, 3, 1))
 
 
 def _extract_tiles(image: jnp.ndarray, tile_hw: Tuple[int, int],
@@ -131,14 +132,21 @@ def _stitch_cf(logits: jnp.ndarray, boxes, B: int, num_classes: int,
                padded_hw: Tuple[int, int], tile_hw: Tuple[int, int],
                out_hw: Tuple[int, int], chunk_size: int) -> jnp.ndarray:
     """Upsample per-tile OS-k logits to tile size and overlap-average them
-    into a full-resolution canvas; returns (B, C, H, W).
+    into a full-resolution canvas; returns BATCH-FOLDED channels-first
+    (B·C, H, W).
 
     The accumulation canvas is CHANNELS-FIRST: with NHWC the 19-class dim
     lands in the lane dimension of the canvas layout and XLA pads it toward
     128 lanes — the 8 stitch dynamic-update-slices then ran ~15× off the
-    HBM roofline (measured 5.6 ms each, ~45 ms/img of pure stitch). With
-    (B, C, Hp, Wp) the updated dims (H, W) tile densely at (8, 128) and
-    the whole stitch drops to ~5 ms/img.
+    HBM roofline (measured 5.6 ms each, ~45 ms/img of pure stitch). And the
+    canvas is 3-D with the batch dim FOLDED INTO CHANNELS: inside the
+    multi-scale+flip program XLA assigns 4-D ``f32[1,19,H,W]`` canvases the
+    sparse ``T(1,128)`` sublane tiling (driven by the chunked upsample
+    einsum feeding the update), which put every dynamic-update-slice ~40×
+    off the roofline — 5.48 ms each, ~167 ms/img of pure stitch at 3
+    scales + flip; the same program with (B·C, Hp, Wp) canvases tiles (H, W)
+    densely at (8, 128) (measured: the whole stitch+resize-back+accumulate
+    tail 274 → 106 ms, ``scripts/probe_stitch_layout.py``).
 
     The upsample runs chunk-by-chunk: holding every tile's full-res f32
     logits at once costs ~n_tiles × 45 MB (OOM-deciding inside the one-jit
@@ -146,8 +154,9 @@ def _stitch_cf(logits: jnp.ndarray, boxes, B: int, num_classes: int,
     th, tw = tile_hw
     Hp, Wp = padded_hw
     H, W = out_hw
-    full = jnp.zeros((B, num_classes, Hp, Wp), jnp.float32)
-    count = jnp.zeros((1, 1, Hp, Wp), jnp.float32)
+    C = num_classes
+    full = jnp.zeros((B * C, Hp, Wp), jnp.float32)
+    count = jnp.zeros((1, Hp, Wp), jnp.float32)
     n = logits.shape[0]
     for s in range(0, n, chunk_size):
         lg = resize_bilinear_align_corners(
@@ -156,11 +165,11 @@ def _stitch_cf(logits: jnp.ndarray, boxes, B: int, num_classes: int,
         for j in range(min(chunk_size, n - s)):
             i_box, b = divmod(s + j, B)
             y1, x1, y2, x2 = boxes[i_box]
-            full = full.at[b, :, y1:y2, x1:x2].add(lg[j])
+            full = full.at[b * C:(b + 1) * C, y1:y2, x1:x2].add(lg[j])
     for (y1, x1, y2, x2) in boxes:
-        count = count.at[:, :, y1:y2, x1:x2].add(1.0)
+        count = count.at[:, y1:y2, x1:x2].add(1.0)
     full = full / count
-    return full[:, :, :H, :W]
+    return full[:, :H, :W]
 
 
 def _predict_sliding_cf(
@@ -172,10 +181,10 @@ def _predict_sliding_cf(
     tiles_per_call: int = 8,
     mesh=None,
 ) -> jnp.ndarray:
-    """:func:`predict_sliding` returning CHANNELS-FIRST (B, C, H, W) —
-    the internal layout every full-resolution accumulation uses (see
-    :func:`_stitch_cf`); multi-scale composes these without ever holding
-    an NHWC full-res tensor."""
+    """:func:`predict_sliding` returning BATCH-FOLDED channels-first
+    (B·C, H, W) — the internal layout every full-resolution accumulation
+    uses (see :func:`_stitch_cf`); multi-scale composes these without ever
+    holding an NHWC (or 4-D) full-res tensor."""
     B, H, W, _ = image.shape
     tiles, boxes, padded_hw = _extract_tiles(image, tile_hw, overlap)
     step = max(tiles_per_call, B)
@@ -186,16 +195,19 @@ def _predict_sliding_cf(
 
 def predict_whole(apply_fn: Callable, image: jnp.ndarray, num_classes: int) -> jnp.ndarray:
     """Whole-image forward, logits upsampled to input size (evaluate.py:145-153)."""
-    return jnp.transpose(_predict_whole_cf(apply_fn, image, num_classes),
-                         (0, 2, 3, 1))
+    B, H, W, _ = image.shape
+    full = _predict_whole_cf(apply_fn, image, num_classes)
+    return jnp.transpose(full.reshape(B, num_classes, H, W), (0, 2, 3, 1))
 
 
 def _predict_whole_cf(apply_fn: Callable, image: jnp.ndarray,
                       num_classes: int) -> jnp.ndarray:
+    """Whole-image forward returning batch-folded (B·C, H, W) f32 logits."""
     B, H, W, _ = image.shape
     logits = apply_fn(image)  # (B, h, w, C) OS-8 — small; transpose here
     logits = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
-    return resize_bilinear_align_corners(logits, (H, W), h_axis=2)
+    logits = logits.reshape(B * num_classes, *logits.shape[2:])
+    return resize_bilinear_align_corners(logits, (H, W), h_axis=1)
 
 
 def predict_multiscale(
@@ -213,10 +225,11 @@ def predict_multiscale(
     input per scale, sliding (or whole) prediction, optional horizontal-flip
     average, mean over scales. Returns (B, H, W, C) averaged logits."""
     B, H, W, _ = image.shape
-    # all full-resolution intermediates stay channels-first (see the canvas
-    # comment in _stitch_cf — NHWC pads the 19-class lane dim ~6.7× and
-    # every add/resize over the canvas pays it); ONE transpose at return
-    acc = jnp.zeros((B, num_classes, H, W), jnp.float32)
+    # all full-resolution intermediates stay channels-first AND batch-folded
+    # 3-D (see the canvas comment in _stitch_cf — NHWC pads the 19-class
+    # lane dim ~6.7×, and 4-D [1,C,H,W] canvases draw the sparse T(1,128)
+    # sublane tiling in this program); ONE unfold+transpose at return
+    acc = jnp.zeros((B * num_classes, H, W), jnp.float32)
 
     # scipy.ndimage.zoom(order=1) semantics (reference evaluate.py:166):
     # out size = round(in·scale), align-corners coordinate mapping
@@ -257,24 +270,26 @@ def predict_multiscale(
             probs = next(it)
             if flip:
                 probs_f = next(it)
-                probs = 0.5 * (probs + probs_f[:, :, :, ::-1])
-            if probs.shape[2:] != (H, W):
+                probs = 0.5 * (probs + probs_f[:, :, ::-1])
+            if probs.shape[1:] != (H, W):
                 # the reference's scale≠1 accumulate is bit-rotted (shape
                 # mismatch, never exercised — main() runs scales=[1.0]);
                 # resizing the scaled probabilities back with the same
                 # align-corners convention is the intended behaviour
-                probs = resize_bilinear_align_corners(probs, (H, W), h_axis=2)
+                probs = resize_bilinear_align_corners(probs, (H, W), h_axis=1)
             acc = acc + probs
+        acc = acc.reshape(B, num_classes, H, W)
         return jnp.transpose(acc / len(scales), (0, 2, 3, 1))
 
     for s in scales:
         scaled, (sh, sw) = _scaled(s)
-        probs = _predict_whole_cf(apply_fn, scaled, num_classes)  # (B, C, sh, sw)
+        probs = _predict_whole_cf(apply_fn, scaled, num_classes)  # (B·C, sh, sw)
         if flip:
             probs_f = _predict_whole_cf(apply_fn, scaled[:, :, ::-1, :],
                                         num_classes)
-            probs = 0.5 * (probs + probs_f[:, :, :, ::-1])
+            probs = 0.5 * (probs + probs_f[:, :, ::-1])
         if (sh, sw) != (H, W):
-            probs = resize_bilinear_align_corners(probs, (H, W), h_axis=2)
+            probs = resize_bilinear_align_corners(probs, (H, W), h_axis=1)
         acc = acc + probs
+    acc = acc.reshape(B, num_classes, H, W)
     return jnp.transpose(acc / len(scales), (0, 2, 3, 1))

@@ -429,7 +429,6 @@ def test_seg_model_small_vs_reference_source(ref):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_seg_model_full_r101_vs_reference_source(ref):
     """The actual `Seg_Model` (ResNet-101, networks/ccnet.py:194-200) as the
     oracle — the complete flagship-architecture key surface and numerics."""
