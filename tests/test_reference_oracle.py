@@ -437,3 +437,101 @@ def test_seg_model_full_r101_vs_reference_source(ref):
         ref, (3, 4, 23, 3), 19, 2, seed=1)
     x = rng.randn(1, 65, 65, 3).astype(np.float32)
     _assert_model_parity(model, variables, tm, x)
+
+
+# ------------------------------------- training dynamics, reference side ---
+
+
+@pytest.mark.slow
+def test_training_dynamics_vs_reference_source(ref, tmp_path):
+    """Multi-step lockstep training where EVERY torch-side piece is
+    reference-AUTHORED source: the reference's own ResNet/RCCA/CCA classes
+    (networks/ccnet.py, via the pure-torch InPlaceABN shim), its own
+    `CriterionOhemDSN` → `OhemCrossEntropy2d` (loss/criterion.py:37-56,
+    loss/loss.py:9-93, configured `factor=1` so its threshold search runs at
+    full resolution — the regime our exact on-device selection implements),
+    `torch.optim.SGD(momentum, weight_decay)` and the poly LR formula
+    (train.py:126-127,182-183,217-222). Unlike
+    tests/test_train_dynamics_torch.py (whose oracle is a builder-written
+    replica), a transcription error in our understanding of the reference
+    CANNOT hide here: initial weights transfer through the real `.pth`
+    export, then N optimizer steps (train-mode BN running-stat updates,
+    OHEM selection, momentum+wd composition) must track step by step."""
+    import importlib  # noqa: F401  (fixture already imported the modules)
+    from ccnet_tpu.losses import build_criterion
+    from ccnet_tpu.models import CCNet
+    from ccnet_tpu.train import create_train_state, make_optimizer, make_train_step
+    from ccnet_tpu.utils.checkpoint import save_pth
+
+    CLASSES, LAYERS, R = 5, (1, 1, 1, 1), 2
+    HW, BATCH = 33, 2
+    BASE_LR, MAX_STEPS, WD, MOMENTUM = 1e-2, 20, 1e-4, 0.9
+    THRESH, MIN_KEPT, N_STEPS = 0.7, 800, 5
+
+    model = CCNet(num_classes=CLASSES, layers=LAYERS, recurrence=R,
+                  impl="jnp", drop_rate=0.0)
+    tx = make_optimizer(base_lr=BASE_LR, max_steps=MAX_STEPS,
+                        momentum=MOMENTUM, weight_decay=WD)
+    criterion = build_criterion(ohem=True, thresh=THRESH, min_kept=MIN_KEPT)
+    state = create_train_state(model, tx, input_shape=(1, HW, HW, 3))
+    step_fn = make_train_step(model, criterion, tx)
+
+    # identical init through the real .pth export into the REFERENCE classes
+    pth = str(tmp_path / "init.pth")
+    save_pth({"params": state.params, "batch_stats": state.batch_stats}, pth)
+    tm = ref.ccnet.ResNet(ref.ccnet.Bottleneck, list(LAYERS), CLASSES, None, R)
+    tm.load_state_dict(torch.load(pth, weights_only=False), strict=True)
+    for m in tm.modules():  # the one RNG-dependent op, disabled both sides
+        if isinstance(m, torch.nn.Dropout2d):
+            m.p = 0.0
+    tm.train()
+    crit_t = ref.criterion.CriterionOhemDSN(
+        ignore_index=255, thresh=THRESH, min_kept=MIN_KEPT)
+    crit_t.criterion1.factor = 1  # full-res threshold search (loss/loss.py:21-24)
+    opt = torch.optim.SGD(tm.parameters(), lr=BASE_LR, momentum=MOMENTUM,
+                          weight_decay=WD)
+
+    key = jax.random.PRNGKey(0)
+    jax_losses, torch_losses = [], []
+    for i in range(N_STEPS):
+        rng = np.random.RandomState(300 + i)
+        x = rng.randn(BATCH, HW, HW, 3).astype(np.float32) * 0.5
+        y = rng.randint(0, CLASSES, size=(BATCH, HW, HW)).astype(np.int32)
+        y[rng.rand(BATCH, HW, HW) < 0.1] = 255
+
+        state, metrics = step_fn(state, jnp.asarray(x), jnp.asarray(y), key)
+        jax_losses.append(float(metrics["loss"]))
+
+        lr = BASE_LR * (1.0 - i / MAX_STEPS) ** 0.9  # train.py:126-127
+        for group in opt.param_groups:
+            group["lr"] = lr
+        main, aux = tm(_nchw(x))
+        loss = crit_t([main, aux], torch.from_numpy(y).long())
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # tolerance bands as calibrated in test_train_dynamics_torch.py: step 0
+    # is state-free (f32 tight); later steps carry conv-algorithm noise
+    # through BN + OHEM keep-boundary pixels (~1.5e-3/pixel flip); real
+    # composition bugs diverge >1e-2 within five steps
+    assert abs(jax_losses[0] - torch_losses[0]) < 1e-4, (jax_losses[0], torch_losses[0])
+    np.testing.assert_allclose(
+        jax_losses, torch_losses, rtol=0, atol=2e-3,
+        err_msg=f"diverged from reference source: jax={jax_losses} torch={torch_losses}")
+    assert abs(jax_losses[-1] - jax_losses[0]) > 1e-3  # it actually trained
+
+    pth2 = str(tmp_path / "final.pth")
+    save_pth({"params": state.params, "batch_stats": state.batch_stats}, pth2)
+    ours = torch.load(pth2, weights_only=False)
+    theirs = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    assert set(ours) == set(theirs)
+    for k, v in ours.items():
+        a, b = np.asarray(v), theirs[k]
+        scale = max(np.abs(b).max(), 1e-2)
+        np.testing.assert_allclose(
+            a, b, rtol=0, atol=5e-2 * scale,
+            err_msg=f"post-training mismatch vs reference source at {k}")
+    gamma = np.asarray(ours["head.cca.gamma"])
+    assert abs(float(gamma.ravel()[0])) > 1e-6  # gamma moved off zero init
