@@ -340,8 +340,12 @@ def main():
             # ~2 ms). wire-corrected = throughput with the tunnel excess
             # subtracted out.
             "wire_bound": bool(e2e["wire_s_per_batch"] > step_s),
+            # subtracting the tunnel excess can at best return the step to
+            # compute-bound, so the corrected batch time floors at step_s
+            # (the one-shot bandwidth sample swings vs the timed legs and
+            # could otherwise over-correct past the resident throughput)
             "train_e2e_wire_corrected_crops_per_sec": round(
-                8 / max(8 / e2e["e2e_cps"] - max(e2e["wire_s_per_batch"] - step_s, 0), 1e-9), 3),
+                8 / max(8 / e2e["e2e_cps"] - max(e2e["wire_s_per_batch"] - step_s, 0), step_s), 3),
             "eval_msflip_1024x2048_s_per_img": round(msflip_s, 4),
             "cca_fwdbwd_513x513_ms": cca,
             "baseline_titan_xp_train_crops_per_sec_per_chip": TITAN_XP_TRAIN_CROPS_PER_SEC_PER_CHIP,
