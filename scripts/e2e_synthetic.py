@@ -15,6 +15,8 @@ E2E_SKIP_TORCH=1 to skip the torch leg."""
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np, jax, jax.numpy as jnp
 
 DEPTH = int(os.environ.get("E2E_DEPTH", "101"))
