@@ -2,6 +2,8 @@
 attention, fwd and fwd+bwd, at escalating shapes.
 
 Sets the `auto` crossover (`ccnet_tpu.models.ccnet._CCA_PALLAS_MIN_AXIS_SUM`)
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 from measurement instead of guesswork; results are recorded in PARITY.md.
 Run on the real TPU: `python scripts/bench_cca.py`.
 

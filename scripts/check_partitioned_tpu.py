@@ -16,6 +16,8 @@ cc_attention/functions.py:27-49).
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/check_partitioned_tpu.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import numpy as np
 
 import jax

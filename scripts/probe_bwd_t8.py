@@ -9,6 +9,8 @@ compiled kernel fits (Mosaic hard-errors on VMEM overflow) and what it buys.
 Run on the real chip: python scripts/probe_bwd_t8.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import time
 from unittest import mock
 

@@ -7,6 +7,8 @@
 Run on the real chip: python scripts/probe_mosaic.py
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 import functools
 
 import jax
