@@ -81,6 +81,47 @@ def test_multiscale_flip_consistency():
     np.testing.assert_allclose(np.asarray(flipped), np.asarray(plain), atol=1e-4)
 
 
+def test_multiscale_matches_composed_passes():
+    """The one-jit multi-scale+flip program (batch-folded 3-D canvases)
+    must equal the hand-composed per-pass pipeline: our public NHWC
+    `predict_sliding` on each scaled/flipped input, torch
+    `F.interpolate(align_corners=True)` for the resize-back, numpy flip +
+    averaging. Guards the folded accumulate/stitch glue (reference surface
+    evaluate.py:155-175) with independent resize/average arithmetic."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from ccnet_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.RandomState(7)
+    Wt = jnp.asarray(rng.randn(3, 4).astype(np.float32))
+
+    def apply_fn(x):
+        return jnp.einsum("bhwc,cd->bhwd", x, Wt)
+
+    H, W, tile, C = 50, 70, (32, 32), 4
+    scales = (0.75, 1.0, 1.25)
+    img = jnp.asarray(rng.randn(1, H, W, 3).astype(np.float32))
+
+    ours = np.asarray(predict_multiscale(
+        apply_fn, img, tile, C, scales=scales, flip=True))
+
+    acc = np.zeros((1, H, W, C), np.float32)
+    for s in scales:
+        sh, sw = int(round(H * s)), int(round(W * s))
+        scaled = (resize_bilinear_align_corners(img, (sh, sw), h_axis=1)
+                  if (sh, sw) != (H, W) else img)
+        p = np.asarray(predict_sliding(apply_fn, scaled, tile, C))
+        pf = np.asarray(predict_sliding(apply_fn, scaled[:, :, ::-1, :], tile, C))
+        p = 0.5 * (p + pf[:, :, ::-1, :])
+        if (sh, sw) != (H, W):
+            pt = torch.from_numpy(p.transpose(0, 3, 1, 2))
+            p = F.interpolate(pt, size=(H, W), mode="bilinear",
+                              align_corners=True).numpy().transpose(0, 2, 3, 1)
+        acc += p
+    np.testing.assert_allclose(ours, acc / len(scales), atol=2e-4)
+
+
 def test_confusion_and_iou():
     labels = jnp.asarray([[0, 0, 1, 1, 2, 255]])
     preds = jnp.asarray([[0, 1, 1, 1, 0, 2]])
