@@ -2,8 +2,6 @@
 attention, fwd and fwd+bwd, at escalating shapes.
 
 Sets the `auto` crossover (`ccnet_tpu.models.ccnet._CCA_PALLAS_MIN_AXIS_SUM`)
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), ".."))
 from measurement instead of guesswork; results are recorded in PARITY.md.
 Run on the real TPU: `python scripts/bench_cca.py`.
 
@@ -13,15 +11,19 @@ jnp path simply OOMs — reported as `null`.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
-from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp  # noqa: E402
+from ccnet_tpu.ops.cc_attention_pallas import criss_cross_attention_pallas  # noqa: E402
 
 
 def cca_pl(q, k, v):

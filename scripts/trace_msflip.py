@@ -85,9 +85,13 @@ def main():
 
     scales = (1.0,) if args.single_scale else (0.75, 1.0, 1.25)
     flip = not args.single_scale
-    # a reused logdir accumulates xplanes across runs and the parse sums them
-    import shutil
-    shutil.rmtree(args.logdir, ignore_errors=True)
+    # a reused logdir accumulates xplanes across runs and the parse sums
+    # them — delete exactly the files the parser globs (never rmtree a
+    # user-supplied path: --logdir could name a populated directory)
+    import glob
+    for p in glob.glob(os.path.join(args.logdir, "**", "*.xplane.pb"),
+                       recursive=True):
+        os.unlink(p)
     os.makedirs(args.logdir, exist_ok=True)
     wall = capture(args.logdir, args.imgs, scales, flip)
     print(f"wall: {wall:.3f} s/img (scales={scales} flip={flip})")
