@@ -36,7 +36,8 @@ F = torch.nn.functional
 
 REF = "/root/reference"
 
-_REF_TOP_LEVEL = ("cc_attention", "loss", "networks", "utils", "inplace_abn")
+_REF_TOP_LEVEL = ("cc_attention", "loss", "networks", "utils", "inplace_abn",
+                  "evaluate", "engine", "dataset", "apex", "torchvision")
 
 
 def _make_inplace_abn_shim():
@@ -91,6 +92,17 @@ def ref():
     orig_cuda = torch.Tensor.cuda
     torch.Tensor.cuda = lambda self, *a, **k: self
     sys.modules["inplace_abn"] = _make_inplace_abn_shim()
+    # evaluate.py pulls in engine.py (hard-requires apex) and torchvision
+    # (not installed here); neither is touched by the module-level eval
+    # functions we oracle against — empty shims satisfy the imports
+    apex = types.ModuleType("apex")
+    apex.parallel = types.ModuleType("apex.parallel")
+    apex.parallel.DistributedDataParallel = object
+    apex.parallel.SyncBatchNorm = object
+    sys.modules["apex"], sys.modules["apex.parallel"] = apex, apex.parallel
+    tv = types.ModuleType("torchvision")
+    tv.models = types.ModuleType("torchvision.models")
+    sys.modules["torchvision"], sys.modules["torchvision.models"] = tv, tv.models
     sys.path.insert(0, REF)
     try:
         ns = types.SimpleNamespace(
@@ -99,6 +111,7 @@ def ref():
             criterion=importlib.import_module("loss.criterion"),
             lovasz=importlib.import_module("loss.lovasz_losses"),
             ccnet=importlib.import_module("networks.ccnet"),
+            evaluate=importlib.import_module("evaluate"),
         )
         yield ns
     finally:
@@ -535,3 +548,193 @@ def test_training_dynamics_vs_reference_source(ref, tmp_path):
             err_msg=f"post-training mismatch vs reference source at {k}")
     gamma = np.asarray(ours["head.cca.gamma"])
     assert abs(float(gamma.ravel()[0])) > 1e-6  # gamma moved off zero init
+
+
+# ------------------------------------------ 2.15 eval pipeline oracle ------
+#
+# The reference's own evaluate.py functions (predict_sliding / predict_whole
+# / predict_multiscale / get_confusion_matrix, /root/reference/evaluate.py:
+# 102-195) as imported oracles, driven by the reference Seg_Model class
+# loaded strict=True from OUR .pth export — the last numeric surface whose
+# oracle was previously builder-written (tests/test_eval.py).
+
+EVAL_C, EVAL_HW, EVAL_TILE = 7, (100, 130), (65, 65)
+
+
+@pytest.fixture(scope="module")
+def eval_oracle(ref):
+    """(apply_fn, torch_model, image) — tiny CCNet exported into the
+    reference's ResNet class, plus a fixed random NHWC image (asymmetric
+    under both flips, so flip-axis bugs cannot cancel)."""
+    model, variables, tm = _export_into_reference_model(
+        ref, (1, 1, 1, 1), EVAL_C, 2, seed=21)
+
+    def apply_fn(x):
+        return model.apply(variables, x, train=False)["main"]
+
+    rng = np.random.RandomState(22)
+    img = rng.randn(1, *EVAL_HW, 3).astype(np.float32)
+    return apply_fn, tm, img
+
+
+def _ref_sliding(ref, tm, img_nhwc, tile=EVAL_TILE, classes=EVAL_C):
+    with torch.no_grad():
+        return ref.evaluate.predict_sliding(
+            tm, img_nhwc.transpose(0, 3, 1, 2).copy(), tile, classes, 0)
+
+
+@pytest.mark.slow
+def test_predict_sliding_vs_reference_source(ref, eval_oracle):
+    """Our batched one-jit sliding prediction == the reference's own
+    predict_sliding (evaluate.py:102-143): same tiling arithmetic, same
+    align-corners upsample, same overlap averaging, on the same weights."""
+    from ccnet_tpu.evaluation.sliding import predict_sliding
+
+    apply_fn, tm, img = eval_oracle
+    theirs = _ref_sliding(ref, tm, img)
+    ours = np.asarray(predict_sliding(apply_fn, jnp.asarray(img), EVAL_TILE, EVAL_C))
+    scale = max(np.abs(theirs).max(), 1.0)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4 * scale)
+
+
+@pytest.mark.slow
+def test_predict_whole_vs_reference_source(ref, eval_oracle):
+    from ccnet_tpu.evaluation.sliding import predict_whole
+
+    apply_fn, tm, img = eval_oracle
+    with torch.no_grad():
+        theirs = ref.evaluate.predict_whole(
+            tm, img.transpose(0, 3, 1, 2).copy(), EVAL_TILE, 0)
+    ours = np.asarray(predict_whole(apply_fn, jnp.asarray(img), EVAL_C))
+    scale = max(np.abs(theirs).max(), 1.0)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4 * scale)
+
+
+@pytest.mark.slow
+def test_predict_multiscale_and_miou_vs_reference_source(ref, eval_oracle):
+    """The exact path the reference's main() ran (evaluate.py:247:
+    scales=[1.0], flip=False) end-to-end: averaged logits match, and
+    argmax → masked confusion matrix → per-class IU → meanIU are
+    IDENTICAL between our ConfusionAccumulator/iou_from_confusion and the
+    reference's get_confusion_matrix + IU formula (evaluate.py:177-195,
+    269-274)."""
+    from ccnet_tpu.evaluation.metrics import ConfusionAccumulator, iou_from_confusion
+    from ccnet_tpu.evaluation.sliding import predict_multiscale
+
+    apply_fn, tm, img = eval_oracle
+    with torch.no_grad():
+        theirs = ref.evaluate.predict_multiscale(
+            tm, torch.from_numpy(img.transpose(0, 3, 1, 2).copy()),
+            EVAL_TILE, [1.0], EVAL_C, False, 0)
+    ours = np.asarray(predict_multiscale(
+        apply_fn, jnp.asarray(img), EVAL_TILE, EVAL_C, scales=(1.0,), flip=False))
+    scale = max(np.abs(theirs).max(), 1.0)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4 * scale)
+
+    # identical predictions by construction of the logit check above is NOT
+    # assumed: both sides argmax their own logits
+    pred_ours = np.argmax(ours, axis=3).astype(np.uint8)
+    pred_theirs = np.asarray(np.argmax(theirs, axis=3), dtype=np.uint8)
+    rng = np.random.RandomState(23)
+    gt = rng.randint(0, EVAL_C, size=pred_ours.shape).astype(np.int64)
+    gt[rng.rand(*gt.shape) < 0.1] = 255
+
+    # reference main() masks ignore pixels BEFORE the bincount (evaluate.py:
+    # 258-262); ours masks inside confusion_matrix
+    keep = gt != 255
+    cm_ref = ref.evaluate.get_confusion_matrix(gt[keep], pred_theirs[keep], EVAL_C)
+    acc = ConfusionAccumulator(EVAL_C, ignore_label=255)
+    acc.update(jnp.asarray(gt), jnp.asarray(pred_ours))
+    cm_ours = np.asarray(acc.cm)
+    np.testing.assert_array_equal(cm_ours, cm_ref.astype(np.int64))
+
+    pos, res, tp = cm_ref.sum(1), cm_ref.sum(0), np.diag(cm_ref)
+    iu_ref = tp / np.maximum(1.0, pos + res - tp)  # evaluate.py:273
+    iu_ours, miou_ours = iou_from_confusion(cm_ours)
+    np.testing.assert_allclose(iu_ours, iu_ref, rtol=1e-12)
+    assert (pos > 0).all()  # all classes present -> the two mean
+    # conventions (ours: present classes; reference: all classes) coincide
+    np.testing.assert_allclose(miou_ours, float(iu_ref.mean()), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_flip_average_vs_reference_intent(ref, eval_oracle):
+    """The reference's flip average is bit-rotted: predict_multiscale flips
+    its NHWC output along H — ``flip_scaled_probs[:,::-1,:]``
+    (evaluate.py:172) — after evaluating a W-flipped input. We implement the
+    evident intent (flip W back, evaluation/sliding.py). Locked here to
+    reference-AUTHORED pieces: composing the reference's own predict_sliding
+    on the image and its W-flip, un-flipping along W, must equal our
+    predict_multiscale(flip=True); the reference's actual flip output is
+    shown to be exactly the H-flip composition (divergence documented in
+    docs/MIGRATION.md)."""
+    from ccnet_tpu.evaluation.sliding import predict_multiscale
+
+    apply_fn, tm, img = eval_oracle
+    p = _ref_sliding(ref, tm, img)
+    pf = _ref_sliding(ref, tm, img[:, :, ::-1, :].copy())  # W-flipped input
+    intent = 0.5 * (p + pf[:, :, ::-1, :])  # flip W back (NHWC axis 2)
+
+    ours = np.asarray(predict_multiscale(
+        apply_fn, jnp.asarray(img), EVAL_TILE, EVAL_C, scales=(1.0,), flip=True))
+    scale = max(np.abs(intent).max(), 1.0)
+    np.testing.assert_allclose(ours, intent, atol=2e-4 * scale)
+
+    with torch.no_grad():
+        theirs = ref.evaluate.predict_multiscale(
+            tm, torch.from_numpy(img.transpose(0, 3, 1, 2).copy()),
+            EVAL_TILE, [1.0], EVAL_C, True, 0)
+    bitrot = 0.5 * (p + pf[:, ::-1, :])  # what evaluate.py:172 computes (H flip)
+    np.testing.assert_allclose(theirs, bitrot, atol=2e-4 * scale)
+    assert np.abs(theirs - ours).max() > 1e-2  # the divergence is real
+
+
+@pytest.mark.slow
+def test_multiscale_scale_neq1_bitrot_and_intent(ref, eval_oracle):
+    """scales≠1 in the reference is dead code that CRASHES when reached:
+    predict_multiscale accumulates the (N, 0.75H, 0.75W, C) scaled
+    probabilities into the full-size canvas (evaluate.py:173) — a broadcast
+    ValueError (main() only ever ran scales=[1.0]). Our resize-back is the
+    evident intent, locked to reference-authored pieces: the reference's own
+    predict_sliding on the reference's own ndimage.zoom of the image,
+    resized back with the matching align-corners convention, equals our
+    scales=(0.75,) output."""
+    from scipy import ndimage
+
+    from ccnet_tpu.evaluation.sliding import predict_multiscale
+    from ccnet_tpu.ops.resize import resize_bilinear_align_corners
+
+    apply_fn, tm, img = eval_oracle
+    with torch.no_grad(), pytest.raises(ValueError):
+        ref.evaluate.predict_multiscale(
+            tm, torch.from_numpy(img.transpose(0, 3, 1, 2).copy()),
+            EVAL_TILE, [0.75, 1.0], EVAL_C, False, 0)
+
+    # reference's own zoom (evaluate.py:166) == our align-corners resize,
+    # up to scipy's boundary artifact: zoom maps output i to input
+    # i·(in−1)/(out−1), but when that product rounds a hair ABOVE in−1
+    # (here 74·99/74 → 99.0000…01) the out-of-bounds sample reads cval=0 —
+    # the last H row of the zoomed image is black garbage, not semantics
+    zoomed = ndimage.zoom(img.transpose(0, 3, 1, 2), (1, 1, 0.75, 0.75),
+                          order=1, prefilter=False).transpose(0, 2, 3, 1)
+    H, W = EVAL_HW
+    sh, sw = int(round(H * 0.75)), int(round(W * 0.75))
+    ours_zoom = np.asarray(resize_bilinear_align_corners(
+        jnp.asarray(img), (sh, sw)))
+    assert zoomed.shape == ours_zoom.shape
+    # atol 1e-4 on ~N(0,1) pixels: scipy's f32 spline vs our resize differ
+    # by f32 rounding (~2e-5); a wrong coordinate map errs at O(0.1-1)
+    np.testing.assert_allclose(ours_zoom[:, :-1, :-1], zoomed[:, :-1, :-1],
+                               rtol=0, atol=1e-4)
+
+    # lock the predict path on a COMMON scaled image (the zoom artifact
+    # row would otherwise propagate through the net near the boundary)
+    theirs_scaled = _ref_sliding(ref, tm, ours_zoom)  # (1, sh, sw, C)
+    theirs = np.asarray(resize_bilinear_align_corners(
+        jnp.asarray(theirs_scaled.transpose(0, 3, 1, 2).astype(np.float32)
+                    .reshape(EVAL_C, sh, sw)), (H, W), h_axis=1)
+    ).reshape(1, EVAL_C, H, W).transpose(0, 2, 3, 1)
+    ours = np.asarray(predict_multiscale(
+        apply_fn, jnp.asarray(img), EVAL_TILE, EVAL_C, scales=(0.75,), flip=False))
+    scale = max(np.abs(theirs).max(), 1.0)
+    np.testing.assert_allclose(ours, theirs, atol=3e-4 * scale)
