@@ -78,9 +78,22 @@ def _put(array, sharding: NamedSharding):
     the argument is this process's *local* shard of the global batch —
     assemble the global array from per-process data (the TPU equivalent of
     the reference's per-rank batch split, ``engine.py:85-97``).
+
+    Multi-process placement takes HOST data only: handing a device array
+    here would silently pull it back to host (``np.asarray``) before
+    re-uploading — a device→host→device round-trip per step. Place the raw
+    host batch FIRST and run augmentation/widening on the global array
+    (``Trainer._place_raw``).
     """
     if jax.process_count() == 1:
         return jax.device_put(array, sharding)
+    if isinstance(array, jax.Array):
+        raise TypeError(
+            "shard_batch/_put under multi-process execution takes host "
+            "arrays (this process's local shard of the global batch); got a "
+            "jax.Array, which would round-trip device->host->device. Place "
+            "host data first, then compute on the global array."
+        )
     return jax.make_array_from_process_local_data(sharding, np.asarray(array))
 
 

@@ -67,14 +67,39 @@ def main():
     state = create_train_state(model, tx, input_shape=(1, 33, 33, 3),
                                rng=jax.random.PRNGKey(0))
     step = make_train_step(model, criterion, tx, mesh=mesh)
-    im, lb = shard_batch(mesh, jnp.asarray(images), jnp.asarray(labels))
+    # placement-first input path: the HOST batch is placed once; every
+    # device-side transform then runs on the global array (VERDICT r4 #3)
+    im, lb = shard_batch(mesh, images, labels)
+    assert im.shape[0] == 4 and lb.shape[0] == 4  # global batch, not local
+
+    # the guard against the device->host->device round-trip: multi-process
+    # placement must REFUSE device arrays (a regression here would silently
+    # re-introduce a host pull of the augmented batch every step)
+    try:
+        shard_batch(mesh, jnp.asarray(images), jnp.asarray(labels))
+        put_device_array_raised = False
+    except TypeError:
+        put_device_array_raised = True
+
+    # on-device widen ON the placed global batch (the host_u8 tail): compute
+    # follows the sharding — one jit over the global array, no re-placement
+    from ccnet_tpu.data.preprocess import finish_u8_crops
+
+    imgs_u8 = np.clip(images * 20 + 120, 0, 255).astype(np.uint8)
+    lbls_u8 = labels.astype(np.uint8)
+    gim, glb = shard_batch(mesh, imgs_u8, lbls_u8)
+    fim, flb = finish_u8_crops(gim, glb)
+    widen_checksum = float(jnp.float32(fim.sum()) + jnp.float32(flb.sum()))
+
     state, metrics = step(state, im, lb, jax.random.PRNGKey(7))
     loss = float(metrics["loss"])
 
     with open(os.path.join(outdir, f"out_{pid}.json"), "w") as f:
         json.dump({"pid": pid, "seen": sorted(seen), "cm": np.asarray(cm).tolist(),
                    "loss": loss, "n_local_devices": len(jax.local_devices()),
-                   "n_global_devices": len(jax.devices())}, f)
+                   "n_global_devices": len(jax.devices()),
+                   "put_device_array_raised": put_device_array_raised,
+                   "widen_checksum": widen_checksum}, f)
 
 
 if __name__ == "__main__":

@@ -86,6 +86,38 @@ def test_loss_decreases_over_steps():
 
 
 @pytest.mark.slow
+def test_augment_on_mesh_placed_batch_matches_unplaced():
+    """The placement-first input path (VERDICT r4 #3): raw u8 batch placed
+    under the mesh batch sharding FIRST, then augmented on the global array —
+    must produce exactly the crops the single-device augment produces, and
+    the augmented output must stay sharded over the batch (the following
+    train step consumes it without a reshard)."""
+    from ccnet_tpu.data.preprocess import device_augment_batch
+
+    rng = np.random.RandomState(7)
+    images = rng.randint(0, 256, size=(8, 40, 56, 3)).astype(np.uint8)
+    labels = rng.randint(0, 7, size=(8, 40, 56)).astype(np.uint8)
+    key = jax.random.PRNGKey(11)
+    kw = dict(crop_hw=(33, 33), scale_min=0.7, scale_steps=15)
+
+    want_im, want_lb = device_augment_batch(
+        jnp.asarray(images), jnp.asarray(labels), key, **kw)
+
+    mesh = make_mesh(space=2)
+    gim, glb = shard_batch(mesh, images, labels)
+    got_im, got_lb = device_augment_batch(gim, glb, key, **kw)
+    # atol: partitioned CPU executables fuse the bilinear lerp slightly
+    # differently (last-ulp f32 deltas on ~±130-range pixels, measured 8e-6)
+    np.testing.assert_allclose(np.asarray(got_im), np.asarray(want_im), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got_lb), np.asarray(want_lb))
+    # batch-dim sharding survived the augment: each of the 8 devices holds
+    # its own sample's crop, not a replica of the whole batch
+    assert not got_im.sharding.is_fully_replicated
+    shard_shapes = {s.data.shape for s in got_im.addressable_shards}
+    assert shard_shapes == {(1, 33, 33, 3)}, shard_shapes
+
+
+@pytest.mark.slow
 def test_spatially_sharded_forward_matches_single_device():
     """Whole-image eval with image HEIGHT over the `space` axis (SURVEY §5.7:
     XLA partitions the convs with halo exchange and all-gathers the
