@@ -52,6 +52,11 @@ def get_parser():
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--data-parallel", type=str2bool, default=True,
                    help="shard the tile batch over all devices (no-op on 1 chip)")
+    p.add_argument("--space", type=int, default=1,
+                   help="with --whole: shard image HEIGHT over this many "
+                        "devices (1024 divides evenly) — XLA partitions the "
+                        "convs with halo exchange; CCA routes to the jnp "
+                        "impl (its row/col softmax spans the sharded axis)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-size", type=str, default="1024,2048")
     return p
@@ -74,9 +79,15 @@ def main(argv=None):
         num_classes = 21  # VOC default (20 classes + background)
     args.num_classes = num_classes
 
+    spatial = args.whole and args.space > 1
     model = build_model(
         args.model, num_classes=num_classes, recurrence=args.recurrence,
         depth=args.depth, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        # spatially-sharded whole-image inference: the Pallas CCA kernel's
+        # custom_partitioning rule is batch-only, so under an H-sharded input
+        # it would gather H per shard per call — gate to the jnp CCA, whose
+        # row/column softmax XLA partitions/gathers once itself
+        impl="jnp" if spatial else "auto",
     )
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32), train=False
@@ -120,7 +131,18 @@ def main(argv=None):
                         num_workers=args.num_workers, drop_last=False)
 
     mesh = None
-    if args.data_parallel and len(jax.devices()) > 1 and not args.whole:
+    if spatial:
+        from ccnet_tpu.parallel import make_mesh
+
+        if len(jax.devices()) % args.space:
+            raise SystemExit(
+                f"--space {args.space} must divide the {len(jax.devices())} devices")
+        mesh = make_mesh(space=args.space)
+        logger.info(
+            f"--whole spatial sharding: mesh {dict(mesh.shape)} — image "
+            f"height over 'space' (convs halo-exchange; CCA impl='jnp', "
+            f"XLA gathers its row/column attention over ICI)")
+    elif args.data_parallel and len(jax.devices()) > 1 and not args.whole:
         from ccnet_tpu.parallel import make_mesh
 
         mesh = make_mesh()

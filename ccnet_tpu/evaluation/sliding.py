@@ -193,17 +193,31 @@ def _predict_sliding_cf(
                       (H, W), step)
 
 
-def predict_whole(apply_fn: Callable, image: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+def predict_whole(apply_fn: Callable, image: jnp.ndarray, num_classes: int,
+                  mesh=None) -> jnp.ndarray:
     """Whole-image forward, logits upsampled to input size (evaluate.py:145-153)."""
     B, H, W, _ = image.shape
-    full = _predict_whole_cf(apply_fn, image, num_classes)
+    full = _predict_whole_cf(apply_fn, image, num_classes, mesh)
     return jnp.transpose(full.reshape(B, num_classes, H, W), (0, 2, 3, 1))
 
 
 def _predict_whole_cf(apply_fn: Callable, image: jnp.ndarray,
-                      num_classes: int) -> jnp.ndarray:
-    """Whole-image forward returning batch-folded (B·C, H, W) f32 logits."""
+                      num_classes: int, mesh=None) -> jnp.ndarray:
+    """Whole-image forward returning batch-folded (B·C, H, W) f32 logits.
+
+    With a mesh whose ``space`` axis is >1, the input is constrained to
+    ``spatial_sharding`` (batch over ``data``, image HEIGHT over ``space``)
+    so XLA partitions the backbone convs with halo exchange across chips —
+    the multi-chip route for 1024×2048 whole-image inference. The CCA op
+    must be the jnp implementation on this route (its row/column softmax
+    spans the sharded H axis; XLA inserts the gather — the Pallas kernel's
+    partitioning rule is batch-only and would force a gather per shard per
+    call, ``cc_attention_pallas.py`` ``_CCA_REPL``)."""
     B, H, W, _ = image.shape
+    if mesh is not None and mesh.shape.get("space", 1) > 1:
+        from ccnet_tpu.parallel.mesh import spatial_sharding
+
+        image = jax.lax.with_sharding_constraint(image, spatial_sharding(mesh))
     logits = apply_fn(image)  # (B, h, w, C) OS-8 — small; transpose here
     logits = jnp.transpose(logits, (0, 3, 1, 2)).astype(jnp.float32)
     logits = logits.reshape(B * num_classes, *logits.shape[2:])
@@ -283,10 +297,10 @@ def predict_multiscale(
 
     for s in scales:
         scaled, (sh, sw) = _scaled(s)
-        probs = _predict_whole_cf(apply_fn, scaled, num_classes)  # (B·C, sh, sw)
+        probs = _predict_whole_cf(apply_fn, scaled, num_classes, mesh)  # (B·C, sh, sw)
         if flip:
             probs_f = _predict_whole_cf(apply_fn, scaled[:, :, ::-1, :],
-                                        num_classes)
+                                        num_classes, mesh)
             probs = 0.5 * (probs + probs_f[:, :, ::-1])
         if (sh, sw) != (H, W):
             probs = resize_bilinear_align_corners(probs, (H, W), h_axis=1)
