@@ -31,16 +31,23 @@ from ccnet_tpu.nn.layers import ABN, Conv, torch_conv_init
 from ccnet_tpu.ops.cc_attention import criss_cross_attention as cca_jnp
 
 # 'auto' switches to the fused Pallas kernel once the attended-axis length
-# H+W reaches this — set from the measured v5e jnp-vs-kernel crossover
-# (scripts/bench_cca.py, 2026-08-18; full table in PARITY.md). The fused
-# natural-layout kernels (zero XLA transposes, in-kernel joint-softmax
-# combine, single-HBM-round-trip gradients) win at the flagship 97² training
-# crop: fwd 2.43 vs 3.17 ms, fwd+bwd 4.29 vs 4.58 ms (8, 97, 97, 64/512
-# bf16), and the margin grows with N (513²: 28.7 vs 38.3 fwd+bwd; 769²:
-# 49.2 vs 103.4 — where the jnp path also writes 3.6 GB of HBM affinity
-# temps per image that the kernel never materialises). Below 97 lines the
-# kernel is unmeasured, so the jnp route keeps those shapes.
-_CCA_PALLAS_MIN_AXIS_SUM = 194
+# H+W reaches this. Routing is decided by IN-GRAPH measurements of the full
+# product programs, not the standalone kernel microbench: at the flagship
+# shapes the standalone kernel wins narrowly (97²: fwd+bwd 4.29 vs 4.58 ms,
+# scripts/bench_cca.py) but the jnp route wins the programs that contain it
+# — XLA fuses its elementwise/softmax chain with the surrounding convs and
+# avoids layout transitions around the custom call (v5e, 2026-08-19,
+# median-of-3: R101 train step 0.3200 vs 0.3320 s; sliding eval 0.0821 vs
+# 0.0839 s/img; whole-image 1024×2048 fwd 0.0397 vs 0.0415 s — jnp wins all
+# three; this 12 ms/step was the whole BENCH r03→r04 headline drift). At
+# long-context shapes the kernel's margin is structural and decisive
+# (513²: 28.7 vs 38.3 ms fwd+bwd standalone; 769²: 49.2 vs 103.4, where the
+# jnp path also writes ~3.6 GB of HBM affinity temps per image that the
+# kernel never materialises — and OOMs first), so those route to the
+# kernel. 512 sits between the largest measured-jnp-faster product shape
+# (whole-image 128+256=384) and the smallest measured-kernel-dominant one
+# (513+513=1026).
+_CCA_PALLAS_MIN_AXIS_SUM = 512
 
 
 def choose_cca_impl(batch: int, height: int, width: int) -> str:

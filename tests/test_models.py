@@ -107,9 +107,11 @@ def test_remat_modes_match_no_remat_gradients(mode):
 
 
 def test_choose_cca_impl_crossover(monkeypatch):
-    """'auto' switches to the Pallas kernel at the MEASURED attended-axis
-    (H+W) crossover (scripts/bench_cca.py): jnp at the 97² crop shape, the
-    kernel at whole-image and long-context shapes, batch-independent."""
+    """'auto' routes by IN-GRAPH full-program measurements (see
+    `_CCA_PALLAS_MIN_AXIS_SUM`): jnp at every product shape — the 97² crop,
+    97² eval tiles, 128×256 whole-image — where XLA's fusion beats the
+    standalone-faster kernel; the kernel at long-context shapes where its
+    margin is structural (and the jnp path OOMs). Batch-independent."""
     import ccnet_tpu.utils.platform as platform_mod
     from ccnet_tpu.models.ccnet import choose_cca_impl
 
@@ -117,10 +119,10 @@ def test_choose_cca_impl_crossover(monkeypatch):
     assert choose_cca_impl(1, 769, 769) == "jnp"  # off-TPU: always jnp
 
     monkeypatch.setattr(platform_mod, "is_tpu_backend", lambda: True)
-    assert choose_cca_impl(8, 97, 97) == "pallas"     # train crop: kernel wins
+    assert choose_cca_impl(8, 97, 97) == "jnp"        # train crop / eval tile
     assert choose_cca_impl(1, 65, 65) == "jnp"        # below the measured zone
-    assert choose_cca_impl(1, 129, 257) == "pallas"   # whole-image eval
-    assert choose_cca_impl(8, 129, 257) == "pallas"   # batch-independent
-    assert choose_cca_impl(1, 257, 257) == "pallas"
+    assert choose_cca_impl(1, 129, 257) == "jnp"      # whole-image eval
+    assert choose_cca_impl(8, 129, 257) == "jnp"      # batch-independent
+    assert choose_cca_impl(1, 257, 257) == "pallas"   # past the crossover
     assert choose_cca_impl(1, 513, 513) == "pallas"   # long-context
     assert choose_cca_impl(1, 769, 769) == "pallas"
