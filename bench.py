@@ -244,6 +244,28 @@ def bench_eval(jax, jnp, model, variables, n_imgs=4, image_hw=(1024, 2048), tile
     return s_per_img, n_tiles / s_per_img, n_tiles
 
 
+def bench_eval_whole(jax, jnp, model, variables, n_imgs=6, image_hw=(1024, 2048)):
+    """Whole-image inference (the reference's --whole surface,
+    evaluate.py:145-153): one forward + align-corners upsample per image."""
+    from ccnet_tpu.evaluation.sliding import predict_whole
+
+    @jax.jit
+    def eval_img(variables, img):
+        return jnp.argmax(predict_whole(
+            lambda x: model.apply(variables, x, train=False)["main"],
+            img, 19), axis=-1)
+
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.randn(1, *image_hw, 3).astype(np.float32) * 30.0)
+    pred = eval_img(variables, img)  # compile + warmup
+    _ = int(pred[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(n_imgs):
+        pred = eval_img(variables, img)
+    _ = int(pred[0, 0, 0])
+    return (time.perf_counter() - t0) / n_imgs
+
+
 def bench_eval_msflip(jax, jnp, model, variables, n_imgs=2, image_hw=(1024, 2048),
                       tile=(769, 769)):
     """Multi-scale (0.75, 1.0, 1.25) + flip sliding eval — the reference's
@@ -317,7 +339,9 @@ def main():
     train_cps, step_s, train_passes, loss, model, variables, step, state = bench_train(jax, jnp)
     _mark(f"train done ({train_cps:.2f} crops/s); eval sliding leg")
     eval_s_img, eval_tps, n_tiles = bench_eval(jax, jnp, model, variables)
-    _mark(f"eval done ({eval_s_img:.3f} s/img); msflip leg")
+    _mark(f"eval done ({eval_s_img:.3f} s/img); whole-image leg")
+    whole_s = bench_eval_whole(jax, jnp, model, variables)
+    _mark(f"whole done ({whole_s:.3f} s/img); msflip leg")
     msflip_s = bench_eval_msflip(jax, jnp, model, variables)
     _mark(f"msflip done ({msflip_s:.3f} s/img); cca kernel leg")
     cca = bench_cca_kernel(jax, jnp)
@@ -356,6 +380,7 @@ def main():
             # could otherwise over-correct past the resident throughput)
             "train_e2e_wire_corrected_crops_per_sec": round(
                 8 / max(8 / e2e["e2e_cps"] - max(e2e["wire_s_per_batch"] - step_s, 0), step_s), 3),
+            "eval_whole_1024x2048_s_per_img": round(whole_s, 4),
             "eval_msflip_1024x2048_s_per_img": round(msflip_s, 4),
             "cca_fwdbwd_513x513_ms": cca,
             "baseline_titan_xp_train_crops_per_sec_per_chip": TITAN_XP_TRAIN_CROPS_PER_SEC_PER_CHIP,

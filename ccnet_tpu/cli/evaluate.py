@@ -79,6 +79,10 @@ def main(argv=None):
         num_classes = 21  # VOC default (20 classes + background)
     args.num_classes = num_classes
 
+    if args.space > 1 and not args.whole:
+        raise SystemExit("--space N applies to --whole inference only "
+                         "(sliding eval shards the tile batch instead: "
+                         "--data-parallel, the default)")
     spatial = args.whole and args.space > 1
     model = build_model(
         args.model, num_classes=num_classes, recurrence=args.recurrence,

@@ -67,6 +67,9 @@ def test_evaluate_cli_whole_space(tmp_path):
         "--fp32", "1", "--batch-size", "1", "--whole", "1",
         "--save-preds", "0",
     ]
+    with pytest.raises(SystemExit):  # --space without --whole is an error
+        main(["--synthetic", "--space", "2", "--whole", "0"])
+
     r1 = main(base + ["--output-dir", str(tmp_path / "o1"), "--space", "1"])
     r2 = main(base + ["--output-dir", str(tmp_path / "o2"), "--space", "2"])
     assert 0 <= r2["meanIU"] <= 1
