@@ -44,9 +44,17 @@ def get_parser():
     p.add_argument("--restore-from", type=str, required=True)
     p.add_argument("--whole", type=str2bool, default=False)
     p.add_argument("--flip", type=str2bool, default=False)
+    p.add_argument("--scales", type=str, default="1.0",
+                   help="comma list, e.g. 0.75,1.0,1.25 (multi-scale average)")
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--labelid", type=str2bool, default=True,
                    help="write labelId PNGs (server format); False = trainId palette PNGs")
+    p.add_argument("--fp32", type=str2bool, default=False)
+    p.add_argument("--data-parallel", type=str2bool, default=True,
+                   help="shard the tile batch over all devices (no-op on 1 chip)")
+    p.add_argument("--space", type=int, default=1,
+                   help="with --whole: shard image HEIGHT over this many "
+                        "devices (same surface as evaluate_cli --space)")
     return p
 
 
@@ -54,10 +62,22 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = get_logger("ccnet_tpu.cli.predict")
     h, w = (int(x) for x in args.input_size.split(","))
+    if args.fp32:
+        # strict numerics: f32 MXU passes instead of the TPU's bf16 default
+        jax.config.update("jax_default_matmul_precision", "highest")
 
+    if args.space > 1 and not args.whole:
+        raise SystemExit("--space N applies to --whole inference only "
+                         "(sliding prediction shards the tile batch instead: "
+                         "--data-parallel, the default)")
+    spatial = args.whole and args.space > 1
     model = build_model(args.model, num_classes=args.num_classes,
                         recurrence=args.recurrence, depth=args.depth,
-                        dtype=jnp.bfloat16)
+                        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+                        # same gating as evaluate_cli: the Pallas CCA kernel's
+                        # SPMD rule is batch-only, so H-sharded inputs route to
+                        # the jnp CCA (XLA gathers its row/col softmax itself)
+                        impl="jnp" if spatial else "auto")
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32), train=False
     ))()
@@ -66,8 +86,25 @@ def main(argv=None):
     def apply_fn(x):
         return model.apply(variables, x, train=False)["main"]
 
+    mesh = None
+    if spatial:
+        from ccnet_tpu.parallel import make_mesh
+
+        if len(jax.devices()) % args.space:
+            raise SystemExit(
+                f"--space {args.space} must divide the {len(jax.devices())} devices")
+        mesh = make_mesh(space=args.space)
+        logger.info(
+            f"--whole spatial sharding: mesh {dict(mesh.shape)} — image "
+            f"height over 'space' (convs halo-exchange; CCA impl='jnp')")
+    elif args.data_parallel and len(jax.devices()) > 1 and not args.whole:
+        from ccnet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
     evaluator = Evaluator(apply_fn, num_classes=args.num_classes,
-                          tile_hw=(h, w), flip=args.flip, whole=args.whole)
+                          tile_hw=(h, w),
+                          scales=[float(s) for s in args.scales.split(",")],
+                          flip=args.flip, whole=args.whole, mesh=mesh)
     dataset = CityscapesDataset(args.data_dir, args.data_list,
                                 split=args.split, raw_dtype="uint8")
     loader = DataLoader(dataset, 1, shuffle=False, num_workers=4, drop_last=False)

@@ -46,3 +46,21 @@ def test_predict_cli_submission(tmp_path):
     assert arr.shape == (128, 160)
     valid_ids = set(CITYSCAPES_TRAINID_TO_ID.values())
     assert set(np.unique(arr)) <= valid_ids
+
+    # whole-image multi-chip submission: --whole --space 2 (height sharded
+    # over the mesh's `space` axis, same surface as evaluate_cli) must write
+    # byte-identical PNGs to the single-device --space 1 run
+    with pytest.raises(SystemExit):  # --space without --whole is an error
+        main(["--restore-from", ckpt, "--space", "2", "--whole", "0"])
+    whole = [
+        "--data-dir", str(tmp_path), "--split", "test", "--depth", "50",
+        "--input-size", "97,97", "--restore-from", ckpt,
+        "--whole", "1", "--fp32", "1",
+    ]
+    o1, o2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    main(whole + ["--output-dir", o1, "--space", "1"])
+    main(whole + ["--output-dir", o2, "--space", "2"])
+    for f in files:
+        a = np.asarray(Image.open(os.path.join(o1, f)))
+        b = np.asarray(Image.open(os.path.join(o2, f)))
+        np.testing.assert_array_equal(a, b)
