@@ -9,6 +9,7 @@ import argparse
 import jax
 import jax.numpy as jnp
 
+from ccnet_tpu.cli.common import resolve_inference_mesh, str2bool
 from ccnet_tpu.data import CityscapesDataset, DataLoader, SyntheticDataset
 from ccnet_tpu.data.cityscapes import CITYSCAPES_CLASS_NAMES
 from ccnet_tpu.data.preprocess import CITYSCAPES_MEAN_BGR
@@ -17,10 +18,6 @@ from ccnet_tpu.evaluation import Evaluator
 from ccnet_tpu.models import build_model
 from ccnet_tpu.train.optim import make_optimizer
 from ccnet_tpu.utils import get_logger, load_pth, restore_checkpoint
-
-
-def str2bool(v):
-    return str(v).lower() in ("yes", "true", "t", "1")
 
 
 def get_parser():
@@ -51,7 +48,8 @@ def get_parser():
     p.add_argument("--fp32", type=str2bool, default=False)
     p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--data-parallel", type=str2bool, default=True,
-                   help="shard the tile batch over all devices (no-op on 1 chip)")
+                   help="shard the tile batch (sliding) or the image batch "
+                        "(--whole) over devices (no-op on 1 chip)")
     p.add_argument("--space", type=int, default=1,
                    help="with --whole: shard image HEIGHT over this many "
                         "devices (1024 divides evenly) — XLA partitions the "
@@ -78,12 +76,16 @@ def main(argv=None):
     if is_voc and num_classes == 19:
         num_classes = 21  # VOC default (20 classes + background)
     args.num_classes = num_classes
+    if is_voc and args.batch_size != 1:
+        # VOC val images have per-image sizes — they cannot be stacked
+        # into one batch (and bucket-padding inside a batch would mix
+        # shapes per step anyway)
+        logger.warning("--dataset voc evaluates variable-size images; "
+                       f"forcing --batch-size {args.batch_size} -> 1")
+        args.batch_size = 1
 
-    if args.space > 1 and not args.whole:
-        raise SystemExit("--space N applies to --whole inference only "
-                         "(sliding eval shards the tile batch instead: "
-                         "--data-parallel, the default)")
-    spatial = args.whole and args.space > 1
+    mesh, spatial = resolve_inference_mesh(args, logger,
+                                           batch_size=args.batch_size)
     model = build_model(
         args.model, num_classes=num_classes, recurrence=args.recurrence,
         depth=args.depth, dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
@@ -119,13 +121,6 @@ def main(argv=None):
         if not args.data_list:
             raise SystemExit("--data-list (VOC id list) is required for --dataset voc")
         dataset = VOCDataset(args.data_dir, args.data_list, raw_dtype="uint8")
-        if args.batch_size != 1:
-            # VOC val images have per-image sizes — they cannot be stacked
-            # into one batch (and bucket-padding inside a batch would mix
-            # shapes per step anyway)
-            logger.warning("--dataset voc evaluates variable-size images; "
-                           f"forcing --batch-size {args.batch_size} -> 1")
-            args.batch_size = 1
     else:
         # uint8 wire layout: the f32 widen + mean subtract happen inside the
         # Evaluator's jit — 4× less host→device traffic per image
@@ -134,22 +129,6 @@ def main(argv=None):
     loader = DataLoader(dataset, args.batch_size, shuffle=False,
                         num_workers=args.num_workers, drop_last=False)
 
-    mesh = None
-    if spatial:
-        from ccnet_tpu.parallel import make_mesh
-
-        if len(jax.devices()) % args.space:
-            raise SystemExit(
-                f"--space {args.space} must divide the {len(jax.devices())} devices")
-        mesh = make_mesh(space=args.space)
-        logger.info(
-            f"--whole spatial sharding: mesh {dict(mesh.shape)} — image "
-            f"height over 'space' (convs halo-exchange; CCA impl='jnp', "
-            f"XLA gathers its row/column attention over ICI)")
-    elif args.data_parallel and len(jax.devices()) > 1 and not args.whole:
-        from ccnet_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
     if is_voc:
         from ccnet_tpu.data.palette import voc_colormap
 

@@ -18,16 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ccnet_tpu.cli.common import resolve_inference_mesh, str2bool
 from ccnet_tpu.data import CityscapesDataset, DataLoader
 from ccnet_tpu.data.cityscapes import trainid_to_labelid
 from ccnet_tpu.data.palette import cityscapes_palette, save_indexed_png
 from ccnet_tpu.evaluation import Evaluator
 from ccnet_tpu.models import build_model
 from ccnet_tpu.utils import get_logger, load_pth
-
-
-def str2bool(v):
-    return str(v).lower() in ("yes", "true", "t", "1")
 
 
 def get_parser():
@@ -51,7 +48,8 @@ def get_parser():
                    help="write labelId PNGs (server format); False = trainId palette PNGs")
     p.add_argument("--fp32", type=str2bool, default=False)
     p.add_argument("--data-parallel", type=str2bool, default=True,
-                   help="shard the tile batch over all devices (no-op on 1 chip)")
+                   help="shard the tile batch (sliding) or the image batch "
+                        "(--whole) over devices (no-op on 1 chip)")
     p.add_argument("--space", type=int, default=1,
                    help="with --whole: shard image HEIGHT over this many "
                         "devices (same surface as evaluate_cli --space)")
@@ -61,16 +59,15 @@ def get_parser():
 def main(argv=None):
     args = get_parser().parse_args(argv)
     logger = get_logger("ccnet_tpu.cli.predict")
+    from ccnet_tpu.parallel import maybe_initialize_distributed
+
+    maybe_initialize_distributed(logger)
     h, w = (int(x) for x in args.input_size.split(","))
     if args.fp32:
         # strict numerics: f32 MXU passes instead of the TPU's bf16 default
         jax.config.update("jax_default_matmul_precision", "highest")
 
-    if args.space > 1 and not args.whole:
-        raise SystemExit("--space N applies to --whole inference only "
-                         "(sliding prediction shards the tile batch instead: "
-                         "--data-parallel, the default)")
-    spatial = args.whole and args.space > 1
+    mesh, spatial = resolve_inference_mesh(args, logger, batch_size=1)
     model = build_model(args.model, num_classes=args.num_classes,
                         recurrence=args.recurrence, depth=args.depth,
                         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
@@ -86,21 +83,6 @@ def main(argv=None):
     def apply_fn(x):
         return model.apply(variables, x, train=False)["main"]
 
-    mesh = None
-    if spatial:
-        from ccnet_tpu.parallel import make_mesh
-
-        if len(jax.devices()) % args.space:
-            raise SystemExit(
-                f"--space {args.space} must divide the {len(jax.devices())} devices")
-        mesh = make_mesh(space=args.space)
-        logger.info(
-            f"--whole spatial sharding: mesh {dict(mesh.shape)} — image "
-            f"height over 'space' (convs halo-exchange; CCA impl='jnp')")
-    elif args.data_parallel and len(jax.devices()) > 1 and not args.whole:
-        from ccnet_tpu.parallel import make_mesh
-
-        mesh = make_mesh()
     evaluator = Evaluator(apply_fn, num_classes=args.num_classes,
                           tile_hw=(h, w),
                           scales=[float(s) for s in args.scales.split(",")],

@@ -12,14 +12,11 @@ from __future__ import annotations
 
 import argparse
 
+from ccnet_tpu.cli.common import str2bool
 from ccnet_tpu.data import (AugmentingDataset, CityscapesDataset, DataLoader,
                             SyntheticDataset, VOCDataset)
 from ccnet_tpu.train.trainer import TrainConfig, Trainer
 from ccnet_tpu.utils import get_logger
-
-
-def str2bool(v):
-    return str(v).lower() in ("yes", "true", "t", "1")
 
 
 def get_parser():

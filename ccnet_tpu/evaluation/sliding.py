@@ -205,16 +205,18 @@ def _predict_whole_cf(apply_fn: Callable, image: jnp.ndarray,
                       num_classes: int, mesh=None) -> jnp.ndarray:
     """Whole-image forward returning batch-folded (B·C, H, W) f32 logits.
 
-    With a mesh whose ``space`` axis is >1, the input is constrained to
-    ``spatial_sharding`` (batch over ``data``, image HEIGHT over ``space``)
-    so XLA partitions the backbone convs with halo exchange across chips —
-    the multi-chip route for 1024×2048 whole-image inference. The CCA op
-    must be the jnp implementation on this route (its row/column softmax
-    spans the sharded H axis; XLA inserts the gather — the Pallas kernel's
-    partitioning rule is batch-only and would force a gather per shard per
-    call, ``cc_attention_pallas.py`` ``_CCA_REPL``)."""
+    With a mesh, the input is constrained to ``spatial_sharding`` (batch
+    over ``data``, image HEIGHT over ``space``): a ``data``-axis mesh runs
+    whole images data-parallel across chips; a ``space`` axis additionally
+    partitions each image's height, with XLA partitioning the backbone
+    convs via halo exchange — the multi-chip routes for 1024×2048
+    whole-image inference. The CCA op must be the jnp implementation when
+    ``space > 1`` (its row/column softmax spans the sharded H axis; XLA
+    inserts the gather — the Pallas kernel's partitioning rule is
+    batch-only and would force a gather per shard per call,
+    ``cc_attention_pallas.py`` ``_CCA_REPL``)."""
     B, H, W, _ = image.shape
-    if mesh is not None and mesh.shape.get("space", 1) > 1:
+    if mesh is not None:
         from ccnet_tpu.parallel.mesh import spatial_sharding
 
         image = jax.lax.with_sharding_constraint(image, spatial_sharding(mesh))

@@ -167,7 +167,10 @@ class Trainer:
         """
         if self.mesh is None:
             return jnp.asarray(images), jnp.asarray(labels)
-        return shard_batch(self.mesh, np.asarray(images), np.asarray(labels))
+        # Hand the arrays to shard_batch as-is: its _put refuses jax.Arrays
+        # under multi-process execution (an np.asarray here would silently
+        # pull a device array back to host and defeat that guard).
+        return shard_batch(self.mesh, images, labels)
 
     def _prepare_batch(self, images, labels, step: int):
         """Loader batch → mesh-placed, augmented (imgs, lbls).

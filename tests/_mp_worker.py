@@ -8,7 +8,9 @@ exercise the real multi-host code paths:
 * ``ConfusionAccumulator.global_matrix`` cross-process sum
   (reference evaluate.py:267-268),
 * ``shard_batch`` assembling a global batch from per-process local data
-  (reference engine.py:85-97) feeding one mesh train step.
+  (reference engine.py:85-97) feeding one mesh train step,
+* both device-side augment backends (`device` / `host_u8` widen) running ON
+  the placed global batch — the placement-first input path.
 
 Usage: python _mp_worker.py <coordinator> <nproc> <pid> <outdir>
 """
@@ -91,6 +93,17 @@ def main():
     fim, flb = finish_u8_crops(gim, glb)
     widen_checksum = float(jnp.float32(fim.sum()) + jnp.float32(flb.sum()))
 
+    # the 'device' augment backend ON the placed global batch (the trainer's
+    # _prepare_batch 'device' tail): eager vmap dispatch mixing the global
+    # sharded batch with a process-local key — every process folds the SAME
+    # key; per-sample draws come from the split over the GLOBAL batch
+    from ccnet_tpu.data.preprocess import device_augment_batch
+
+    akey = jax.random.fold_in(jax.random.PRNGKey(3), 7)
+    aim, alb = device_augment_batch(gim, glb, akey, crop_hw=(25, 25),
+                                    ignore_label=4)
+    augment_checksum = float(jnp.float32(aim.sum()) + jnp.float32(alb.sum()))
+
     state, metrics = step(state, im, lb, jax.random.PRNGKey(7))
     loss = float(metrics["loss"])
 
@@ -99,7 +112,8 @@ def main():
                    "loss": loss, "n_local_devices": len(jax.local_devices()),
                    "n_global_devices": len(jax.devices()),
                    "put_device_array_raised": put_device_array_raised,
-                   "widen_checksum": widen_checksum}, f)
+                   "widen_checksum": widen_checksum,
+                   "augment_checksum": augment_checksum}, f)
 
 
 if __name__ == "__main__":

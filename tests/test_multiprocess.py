@@ -122,6 +122,28 @@ def test_on_device_widen_runs_on_the_placed_global_batch(mp_results):
         assert r["widen_checksum"] == pytest.approx(want, rel=1e-4)
 
 
+def test_device_augment_backend_runs_on_the_placed_global_batch(mp_results):
+    """--augment-backend device under multi-controller execution: the eager
+    vmap'd device_augment_batch on the globally-placed batch (with the
+    per-process replicated key) dispatches cleanly and every process
+    computes the identical global result."""
+    from ccnet_tpu.data import SyntheticDataset
+    from ccnet_tpu.data.preprocess import device_augment_batch
+
+    dst = SyntheticDataset(n=8, hw=(33, 33), num_classes=5, seed=11)
+    samples = [dst[i] for i in range(4)]
+    images = np.stack([s[0] for s in samples])
+    labels = np.stack([s[1] for s in samples])
+    imgs_u8 = np.clip(images * 20 + 120, 0, 255).astype(np.uint8)
+    lbls_u8 = labels.astype(np.uint8)
+    akey = jax.random.fold_in(jax.random.PRNGKey(3), 7)
+    aim, alb = device_augment_batch(jnp.asarray(imgs_u8), jnp.asarray(lbls_u8),
+                                    akey, crop_hw=(25, 25), ignore_label=4)
+    want = float(jnp.float32(aim.sum()) + jnp.float32(alb.sum()))
+    for r in mp_results:
+        assert r["augment_checksum"] == pytest.approx(want, rel=1e-4)
+
+
 def test_multiprocess_train_step_matches_single_process(mp_results):
     from ccnet_tpu.data import SyntheticDataset
     from ccnet_tpu.losses import build_criterion

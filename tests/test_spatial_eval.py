@@ -48,9 +48,36 @@ def test_whole_image_spatial_sharding_matches_single_device_with_halo_hlo():
     # the H-spanning softmax (measured 6 at R=2), not one per conv
     assert 0 < hlo.count("all-gather-start") + hlo.count("all-gather(") <= 16, (
         hlo.count("all-gather"))
-    # and the route is the jnp CCA — no Pallas kernel custom-call survived
-    assert "cca" not in hlo.lower() or "custom-call" not in hlo.lower()
+    # and the route is the jnp CCA: the program contains NO custom-calls at
+    # all (measured 0 on this CPU mesh — on a TPU mesh a surviving Pallas
+    # kernel would lower to one). On CPU the partitioned kernel substitutes
+    # jnp bodies per shard, so the binding guard against the kernel's
+    # batch-only partitioning rule sneaking back onto this route is the
+    # all-gather bound above, not this line.
+    assert "custom-call" not in hlo.lower()
 
+    got = np.asarray(fn(variables, x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_whole_image_data_parallel_matches_single_device():
+    """--whole --data-parallel (no --space): the IMAGE batch shards over the
+    mesh's data axis — whole-image eval scales by images across chips."""
+    model = CCNet(num_classes=7, layers=(1, 1, 1, 1), recurrence=1, impl="jnp")
+    variables = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 96, 3)),
+                           train=False)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(4, 64, 96, 3).astype(np.float32))
+
+    want = np.asarray(predict_multiscale(
+        lambda t: model.apply(variables, t, train=False)["main"],
+        x, (33, 33), 7, whole=True))
+
+    mesh = make_mesh(jax.devices()[:4])  # 4×1 (data × space)
+    fn = jax.jit(lambda v, im: predict_multiscale(
+        lambda t: model.apply(v, t, train=False)["main"],
+        im, (33, 33), 7, whole=True, mesh=mesh))
     got = np.asarray(fn(variables, x))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
