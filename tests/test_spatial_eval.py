@@ -81,6 +81,18 @@ def test_whole_image_data_parallel_matches_single_device():
     got = np.asarray(fn(variables, x))
     np.testing.assert_allclose(got, want, atol=1e-5)
 
+    # the val loop's FINAL PARTIAL batch (drop_last=False): a batch smaller
+    # than — or not dividing — the mesh's data axis still evaluates
+    # correctly (GSPMD pads the uneven shard internally and the padding
+    # never reaches the output)
+    for b in (2, 3):
+        xb = x[:b]
+        want_b = np.asarray(predict_multiscale(
+            lambda t: model.apply(variables, t, train=False)["main"],
+            xb, (33, 33), 7, whole=True))
+        got_b = np.asarray(fn(variables, xb))
+        np.testing.assert_allclose(got_b, want_b, atol=1e-5)
+
 
 @pytest.mark.slow
 def test_evaluate_cli_whole_space(tmp_path):
